@@ -1,0 +1,408 @@
+"""Public encoder API.
+
+Mirrors the reference's user-facing surface 1:1
+(``/root/reference/src/encoder.rs:212-567`` + ``lib.rs:45-69``): an
+``Encoder`` with the same constructor semantics (quality 1-100; quality < 90
+defaults to 2x2 / 4:2:0 subsampling), every setter, APP/ICC/EXIF metadata
+embedding, and ``encode`` / ``encode_image`` / ``new_file`` entry points —
+re-architected so that pixels -> quantized coefficients runs as one jitted
+TPU program (``kernels.pipeline``) and entropy coding runs in the native
+multithreaded packer (``entropy.native``) with a byte-exact Python oracle
+fallback.
+"""
+
+from __future__ import annotations
+
+import abc
+from typing import List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from .core import errors
+from .core.tables import (
+    HuffmanTable,
+    QuantizationTable,
+    default_tables,
+    quantization_table,
+)
+from .core.types import (
+    ColorType,
+    Component,
+    EncoderConfig,
+    JpegColorType,
+    PixelDensity,
+    SamplingFactor,
+    init_components,
+    max_sampling,
+)
+from .entropy import native as native_entropy
+from .entropy.bitpack import encode_scan
+from .entropy.huffopt import optimize_tables, progressive_bands
+from .jfif import markers, segments
+from .kernels.pipeline import coefficients_fn
+
+__all__ = ["Encoder", "ImageBuffer"]
+
+
+class ImageBuffer(abc.ABC):
+    """User-extensible pixel source (reference image_buffer.rs:86-98).
+
+    Instead of the reference's per-scanline ``fill_buffers`` push model,
+    implementations return whole component planes at once — the natural unit
+    for a batched TPU pipeline.
+    """
+
+    @abc.abstractmethod
+    def get_jpeg_color_type(self) -> JpegColorType: ...
+
+    @abc.abstractmethod
+    def width(self) -> int: ...
+
+    @abc.abstractmethod
+    def height(self) -> int: ...
+
+    @abc.abstractmethod
+    def to_planes(self) -> Tuple[np.ndarray, ...]:
+        """Per-component (H, W) planes of 0..255 values in JPEG colorspace
+        (Luma: 1 plane; Ycbcr: 3; Cmyk/Ycck: 4, already sign-converted)."""
+
+
+class Encoder:
+    """The JPEG encoder (reference encoder.rs:212-435).
+
+    ``Encoder(quality)`` mirrors ``Encoder::new``: quality must be 1..100;
+    below 90 the default sampling factor is 2x2 (4:2:0), otherwise 1x1.
+    Output is returned as ``bytes`` from :meth:`encode`; ``new_file`` wires
+    the result to a path like the reference's ``Encoder::new_file``.
+    """
+
+    def __init__(self, quality: int, _path: Optional[str] = None):
+        self.quality = int(quality)
+        self._sampling_factor = (
+            SamplingFactor.F_2_2 if self.quality < 90 else SamplingFactor.F_1_1
+        )
+        self._density = PixelDensity()
+        self._quantization: Tuple[object, object] = ("default", "default")
+        self._progressive_scans: Optional[int] = None
+        self._restart_interval: Optional[int] = None
+        self._optimize_huffman_table = False
+        self._app_segments: List[Tuple[int, bytes]] = []
+        self._path = _path
+
+    @classmethod
+    def new_file(cls, path, quality: int) -> "Encoder":
+        """Encoder writing to a file (reference encoder.rs:1203-1220)."""
+        return cls(quality, _path=str(path))
+
+    # ------------------------------------------------------------------
+    # Setters (reference encoder.rs:277-435)
+    # ------------------------------------------------------------------
+
+    def set_density(self, density: PixelDensity) -> None:
+        self._density = density
+
+    def density(self) -> PixelDensity:
+        return self._density
+
+    def set_sampling_factor(self, sampling: SamplingFactor) -> None:
+        self._sampling_factor = sampling
+
+    def sampling_factor(self) -> SamplingFactor:
+        return self._sampling_factor
+
+    def set_quantization_tables(self, luma, chroma) -> None:
+        """Preset name (see ``core.tables.QUANT_PRESET_NAMES``) or a custom
+        64-entry sequence per table."""
+        self._quantization = (_freeze_qspec(luma), _freeze_qspec(chroma))
+
+    def quantization_tables(self):
+        return self._quantization
+
+    def set_progressive(self, progressive: bool) -> None:
+        self._progressive_scans = 4 if progressive else None
+
+    def set_progressive_scans(self, scans: int) -> None:
+        if not 2 <= scans <= 64:
+            raise ValueError(f"Invalid number of scans: {scans}")
+        self._progressive_scans = scans
+
+    def progressive_scans(self) -> Optional[int]:
+        return self._progressive_scans
+
+    def set_restart_interval(self, interval: int) -> None:
+        self._restart_interval = None if interval == 0 else int(interval)
+
+    def restart_interval(self) -> Optional[int]:
+        return self._restart_interval
+
+    def set_optimized_huffman_tables(self, optimize: bool) -> None:
+        self._optimize_huffman_table = bool(optimize)
+
+    def optimized_huffman_tables(self) -> bool:
+        return self._optimize_huffman_table
+
+    def add_app_segment(self, segment_nr: int, data: bytes) -> None:
+        """Reference encoder.rs:374-383."""
+        if segment_nr == 0 or segment_nr > 15:
+            raise errors.InvalidAppSegment(segment_nr)
+        if len(data) > 65533:
+            raise errors.AppSegmentTooLarge(len(data))
+        self._app_segments.append((segment_nr, bytes(data)))
+
+    def add_icc_profile(self, data: bytes) -> None:
+        """ICC chunking into APP2 (reference encoder.rs:392-417)."""
+        icc_marker = b"ICC_PROFILE\0"
+        max_chunk = 65535 - 2 - 12 - 2
+        num_chunks = -(-len(data) // max_chunk)
+        if num_chunks >= 255:
+            raise errors.IccTooLarge(len(data))
+        for i in range(num_chunks):
+            chunk = data[i * max_chunk : (i + 1) * max_chunk]
+            payload = icc_marker + bytes((i + 1, num_chunks)) + chunk
+            self.add_app_segment(2, payload)
+
+    def add_exif_metadata(self, data: bytes) -> None:
+        """EXIF into APP1 (reference encoder.rs:426-435)."""
+        self.add_app_segment(1, b"Exif\0\0" + bytes(data))
+
+    # ------------------------------------------------------------------
+    # Encoding
+    # ------------------------------------------------------------------
+
+    def _config(self) -> EncoderConfig:
+        return EncoderConfig(
+            quality=self.quality,
+            sampling_factor=self._sampling_factor,
+            quantization=self._quantization,
+            progressive_scans=self._progressive_scans,
+            restart_interval=self._restart_interval,
+            optimize_huffman_table=self._optimize_huffman_table,
+            density=self._density,
+        )
+
+    def encode(
+        self,
+        data: Union[bytes, np.ndarray],
+        width: int,
+        height: int,
+        color_type: ColorType,
+    ) -> bytes:
+        """Encode raw interleaved pixel data (reference encoder.rs:440-503)."""
+        color_type = ColorType(color_type)
+        bpp = color_type.bytes_per_pixel
+
+        flat = np.frombuffer(data, dtype=np.uint8) if isinstance(
+            data, (bytes, bytearray, memoryview)
+        ) else np.asarray(data, dtype=np.uint8).reshape(-1)
+        required = width * height * bpp
+        if flat.size < required:
+            raise errors.BadImageData(flat.size, required)
+        if width == 0 or height == 0:
+            raise errors.ZeroImageDimensions(width, height)
+
+        pixels = flat[:required].reshape(height, width, bpp)
+        if bpp == 1:
+            pixels = pixels[..., 0]
+        return self._finish(self._encode_pixels(pixels, width, height, color_type))
+
+    def encode_image(self, image: ImageBuffer) -> bytes:
+        """Encode a user-supplied :class:`ImageBuffer`
+        (reference encoder.rs:506-515)."""
+        width, height = image.width(), image.height()
+        if width == 0 or height == 0:
+            raise errors.ZeroImageDimensions(width, height)
+        jct = image.get_jpeg_color_type()
+        planes = image.to_planes()
+        # Pack planes into an interleaved array and reuse the passthrough
+        # color types (planes are already in JPEG colorspace).
+        ct = {
+            JpegColorType.LUMA: ColorType.LUMA,
+            JpegColorType.YCBCR: ColorType.YCBCR,
+            JpegColorType.CMYK: ColorType.CMYK,
+            JpegColorType.YCCK: ColorType.YCCK,
+        }[jct]
+        stacked = np.stack(
+            [np.asarray(p, dtype=np.uint8) for p in planes], axis=-1
+        )
+        if jct is JpegColorType.CMYK:
+            # CMYK planes are already inverted; undo so the pipeline's
+            # ingest inversion (image_buffer.rs:250-255) round-trips.
+            stacked = 255 - stacked
+        if jct is JpegColorType.LUMA:
+            stacked = stacked[..., 0]
+        return self._finish(self._encode_pixels(stacked, width, height, ct))
+
+    def _finish(self, payload: bytes) -> bytes:
+        if self._path is not None:
+            with open(self._path, "wb") as f:
+                f.write(payload)
+        return payload
+
+    def _encode_pixels(
+        self, pixels: np.ndarray, width: int, height: int, color_type: ColorType
+    ) -> bytes:
+        config = self._config()
+        jct = color_type.jpeg_color_type
+        components = init_components(jct, config.sampling_factor)
+
+        fn, layout = coefficients_fn(width, height, color_type, config)
+        comp_blocks = [np.asarray(b) for b in fn(pixels)]
+
+        q_tables = [
+            quantization_table(config.quantization[0], config.quality, luma=True),
+            quantization_table(config.quantization[1], config.quality, luma=False),
+        ]
+        huffman = [list(pair) for pair in default_tables()]
+
+        out = bytearray()
+        out += segments.marker(markers.SOI)
+        out += segments.app0_jfif(config.density)
+        if jct is JpegColorType.CMYK:
+            out += segments.app14_adobe(0)
+        elif jct is JpegColorType.YCCK:
+            out += segments.app14_adobe(2)
+        for nr, data in self._app_segments:
+            out += segments.segment(markers.APP(nr), data)
+
+        mode = config.mode()
+        if mode == "interleaved":
+            out += self._encode_interleaved(
+                comp_blocks[0], layout, components, q_tables, huffman,
+                width, height, config,
+            )
+        else:
+            if config.optimize_huffman_table:
+                optimized = optimize_tables(
+                    comp_blocks, components, config.progressive_scans
+                )
+                for i, pair in enumerate(optimized):
+                    huffman[i] = list(pair)
+            if mode == "sequential":
+                out += self._encode_sequential(
+                    comp_blocks, components, q_tables, huffman,
+                    width, height, config,
+                )
+            else:
+                out += self._encode_progressive(
+                    comp_blocks, components, q_tables, huffman,
+                    width, height, config,
+                )
+
+        out += segments.marker(markers.EOI)
+        return bytes(out)
+
+    def _frame_header(
+        self,
+        width: int,
+        height: int,
+        components: Sequence[Component],
+        q_tables: Sequence[QuantizationTable],
+        huffman,
+        config: EncoderConfig,
+        num_components: int,
+    ) -> bytes:
+        """SOF + DQTs + DHTs + optional DRI (reference encoder.rs:633-667)."""
+        out = bytearray()
+        out += segments.sof(
+            width, height, components, config.progressive_scans is not None
+        )
+        out += segments.dqt(0, q_tables[0])
+        out += segments.dqt(1, q_tables[1])
+        out += segments.dht(0, 0, huffman[0][0])
+        out += segments.dht(1, 0, huffman[0][1])
+        if num_components >= 3:
+            out += segments.dht(0, 1, huffman[1][0])
+            out += segments.dht(1, 1, huffman[1][1])
+        if config.restart_interval is not None:
+            out += segments.dri(config.restart_interval)
+        return bytes(out)
+
+    def _encode_interleaved(
+        self, blocks, layout, components, q_tables, huffman, width, height, config
+    ) -> bytes:
+        out = bytearray()
+        out += self._frame_header(
+            width, height, components, q_tables, huffman, config, len(components)
+        )
+        out += segments.sos(components)
+
+        bpm = len(layout["mcu_block_comps"])
+        comp_ids = np.tile(
+            np.asarray(layout["mcu_block_comps"], dtype=np.int32),
+            layout["mcu_count"],
+        )
+        interval = (config.restart_interval or 0) * bpm
+        dc_tabs = [huffman[c.dc_huffman_table][0] for c in components]
+        ac_tabs = [huffman[c.ac_huffman_table][1] for c in components]
+        out += _pack_scan(
+            blocks, comp_ids, dc_tabs, ac_tabs,
+            restart_interval_blocks=interval,
+        )
+        return bytes(out)
+
+    def _encode_sequential(
+        self, comp_blocks, components, q_tables, huffman, width, height, config
+    ) -> bytes:
+        """One scan per component (reference encoder.rs:810-864)."""
+        out = bytearray()
+        out += self._frame_header(
+            width, height, components, q_tables, huffman, config, len(components)
+        )
+        interval = config.restart_interval or 0
+        for comp, blocks in zip(components, comp_blocks):
+            out += segments.sos([comp])
+            out += _pack_scan(
+                blocks, None,
+                [huffman[comp.dc_huffman_table][0]],
+                [huffman[comp.ac_huffman_table][1]],
+                restart_interval_blocks=interval,
+            )
+        return bytes(out)
+
+    def _encode_progressive(
+        self, comp_blocks, components, q_tables, huffman, width, height, config
+    ) -> bytes:
+        """Spectral-selection progressive (reference encoder.rs:869-975):
+        per-component DC scans, then AC band scans with the component loop
+        inside the band loop."""
+        out = bytearray()
+        out += self._frame_header(
+            width, height, components, q_tables, huffman, config, len(components)
+        )
+        interval = config.restart_interval or 0
+
+        for comp, blocks in zip(components, comp_blocks):
+            out += segments.sos([comp], spectral=(0, 0))
+            out += _pack_scan(
+                blocks, None,
+                [huffman[comp.dc_huffman_table][0]], [None],
+                restart_interval_blocks=interval,
+                emit_ac=False,
+            )
+
+        for start, end in progressive_bands(config.progressive_scans):
+            for comp, blocks in zip(components, comp_blocks):
+                out += segments.sos([comp], spectral=(start, end - 1))
+                out += _pack_scan(
+                    blocks, None,
+                    [None], [huffman[comp.ac_huffman_table][1]],
+                    restart_interval_blocks=interval,
+                    emit_dc=False,
+                    spectral_start=start,
+                    spectral_end=end,
+                )
+        return bytes(out)
+
+
+def _pack_scan(blocks, comp_ids, dc_tabs, ac_tabs, **kw) -> bytes:
+    """Dispatch one scan to the native packer, falling back to the oracle."""
+    packed = native_entropy.encode_scan(blocks, comp_ids, dc_tabs, ac_tabs, **kw)
+    if packed is not None:
+        return packed
+    return encode_scan(blocks, comp_ids, dc_tabs, ac_tabs, **kw)
+
+
+def _freeze_qspec(spec):
+    if isinstance(spec, str):
+        return spec
+    return tuple(int(v) for v in spec)

@@ -1,0 +1,154 @@
+"""ctypes bindings to the native C++ entropy packer.
+
+The reference's serial bit-writer hot loop (``writer.rs:331-388``) is
+replaced by a native, multithreaded packer (``native/entropy.cpp``) that
+exploits the two parallelism seams JPEG offers:
+
+* restart segments are bitstream-independent (byte-aligned, DC reset) and
+  encode on separate threads;
+* without restarts, the block stream is chunked anyway — each chunk's
+  starting DC predictors are known in advance from the coefficient data —
+  and the resulting bit-granular chunk streams are shift-merged and
+  0xFF-stuffed in a final pass.
+
+The shared library is built on demand with g++ -O3 and cached next to the
+source.  ``encode_scan`` returns None when the library is unavailable so the
+caller can fall back to the byte-exact Python oracle.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Sequence
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "native")
+_SRC = os.path.join(_NATIVE_DIR, "entropy.cpp")
+_LIB = os.path.join(_NATIVE_DIR, "libtpuenc_entropy.so")
+
+_lock = threading.Lock()
+_lib = None
+_lib_failed = False
+
+
+def _build() -> bool:
+    cmd = [
+        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        "-pthread", "-o", _LIB, _SRC,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return False
+
+
+def _load():
+    global _lib, _lib_failed
+    with _lock:
+        if _lib is not None or _lib_failed:
+            return _lib
+        if not os.path.exists(_SRC):
+            _lib_failed = True
+            return None
+        if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+            if not _build():
+                _lib_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB)
+        except OSError:
+            _lib_failed = True
+            return None
+        lib.tpuenc_encode_scan.restype = ctypes.c_longlong
+        lib.tpuenc_encode_scan.argtypes = [
+            ctypes.c_void_p,   # blocks int16 (B,64)
+            ctypes.c_longlong, # n_blocks
+            ctypes.c_void_p,   # comp_ids int32 (B,) or NULL
+            ctypes.c_void_p,   # dc_sizes uint8 (4,256)
+            ctypes.c_void_p,   # dc_codes uint16 (4,256)
+            ctypes.c_void_p,   # ac_sizes uint8 (4,256)
+            ctypes.c_void_p,   # ac_codes uint16 (4,256)
+            ctypes.c_longlong, # restart_interval_blocks
+            ctypes.c_int,      # spectral_start
+            ctypes.c_int,      # spectral_end
+            ctypes.c_int,      # emit_dc
+            ctypes.c_int,      # emit_ac
+            ctypes.c_int,      # num_threads
+            ctypes.c_void_p,   # out buffer
+            ctypes.c_longlong, # out capacity
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def encode_scan(
+    blocks: np.ndarray,
+    comp_ids: Optional[np.ndarray],
+    dc_tables: Sequence,
+    ac_tables: Sequence,
+    restart_interval_blocks: int = 0,
+    spectral_start: int = 1,
+    spectral_end: int = 64,
+    emit_dc: bool = True,
+    emit_ac: bool = True,
+    num_threads: int = 0,
+) -> Optional[bytes]:
+    lib = _load()
+    if lib is None:
+        return None
+
+    blocks = np.ascontiguousarray(blocks, dtype=np.int16)
+    B = blocks.shape[0]
+
+    dc_sizes = np.zeros((4, 256), dtype=np.uint8)
+    dc_codes = np.zeros((4, 256), dtype=np.uint16)
+    ac_sizes = np.zeros((4, 256), dtype=np.uint8)
+    ac_codes = np.zeros((4, 256), dtype=np.uint16)
+    for i, t in enumerate(dc_tables):
+        if t is not None:
+            dc_sizes[i] = t.sizes
+            dc_codes[i] = t.codes
+    for i, t in enumerate(ac_tables):
+        if t is not None:
+            ac_sizes[i] = t.sizes
+            ac_codes[i] = t.codes
+
+    if comp_ids is not None:
+        comp_ids = np.ascontiguousarray(comp_ids, dtype=np.int32)
+        cid_ptr = comp_ids.ctypes.data_as(ctypes.c_void_p)
+    else:
+        cid_ptr = None
+
+    # Worst case ~2 stuffed bytes per 16 bits per coefficient plus markers.
+    capacity = max(4096, B * 64 * 4 + (B // max(restart_interval_blocks, 1) + 8) * 2)
+    out = np.empty(capacity, dtype=np.uint8)
+
+    n = lib.tpuenc_encode_scan(
+        blocks.ctypes.data_as(ctypes.c_void_p),
+        B,
+        cid_ptr,
+        dc_sizes.ctypes.data_as(ctypes.c_void_p),
+        dc_codes.ctypes.data_as(ctypes.c_void_p),
+        ac_sizes.ctypes.data_as(ctypes.c_void_p),
+        ac_codes.ctypes.data_as(ctypes.c_void_p),
+        restart_interval_blocks,
+        spectral_start,
+        spectral_end,
+        1 if emit_dc else 0,
+        1 if emit_ac else 0,
+        num_threads or (os.cpu_count() or 1),
+        out.ctypes.data_as(ctypes.c_void_p),
+        capacity,
+    )
+    if n < 0:
+        return None
+    return out[:n].tobytes()

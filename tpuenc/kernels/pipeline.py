@@ -1,0 +1,197 @@
+"""Device pipeline: pixels -> quantized zigzag coefficient blocks.
+
+This is the TPU-side spine of the encoder.  One jit-compiled function per
+(image shape, color type, config) performs:
+
+    interleaved bytes -> color convert -> edge-replicated pad to MCU grid
+      -> per-component point subsample -> 8x8 blockify (-128 level shift)
+      -> batched fDCT -> fused zigzag+quantize -> int16 blocks in scan order
+
+replacing the reference's per-scanline/per-block hot loops
+(``/root/reference/src/encoder.rs:699-807`` interleaved and
+``encoder.rs:977-1056`` full-image ``encode_blocks``) with whole-image
+batched tensor ops.  Semantics preserved exactly:
+
+* Edge replication of the last row/column to the sampling-aligned size
+  (encoder.rs:738-744, 1003-1010) — replicate, never zero-pad.
+* Chroma subsampling by point sampling with stride max/comp
+  (encoder.rs:1222-1242), level shift fused.
+* Interleaved scan order: MCU raster, then component, then v then h offset
+  (encoder.rs:759-769).
+* Sequential/progressive block grids per component are
+  ceil(ceil(dim/8)/scale) (encoder.rs:1012-1025) — one block narrower than
+  the MCU-padded grid when the image width is just past a block boundary.
+
+Everything inside :func:`coefficients_fn` is traced once per static
+(shape, config) and runs fully on device.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.tables import quantization_table
+from ..core.types import (
+    ColorType,
+    EncoderConfig,
+    init_components,
+    max_sampling,
+)
+from .color_convert import to_planes
+from .fdct import fdct_blocks
+from .quantize import quantize_zigzag
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _blockify(plane):
+    """(H, W) -> (H//8, W//8, 8, 8)."""
+    h, w = plane.shape[-2:]
+    x = plane.reshape(*plane.shape[:-2], h // 8, 8, w // 8, 8)
+    return jnp.swapaxes(x, -3, -2)
+
+
+def _pad_edge(plane, target_h: int, target_w: int):
+    h, w = plane.shape[-2:]
+    pad = [(0, 0)] * (plane.ndim - 2) + [(0, target_h - h), (0, target_w - w)]
+    return jnp.pad(plane, pad, mode="edge")
+
+
+def _component_blocks(plane, v_scale: int, h_scale: int):
+    """Point-subsample, level shift and blockify one padded component plane."""
+    sub = plane[..., ::v_scale, ::h_scale] - 128
+    return _blockify(sub)
+
+
+@lru_cache(maxsize=64)
+def _build_coefficients_fn(
+    width: int,
+    height: int,
+    color_type: ColorType,
+    config: EncoderConfig,
+    batched: bool,
+):
+    """Build + jit the pixels->coefficients function for a static shape/config.
+
+    Returns ``(fn, layout)`` where ``layout`` describes the produced block
+    streams (see :func:`scan_layout`).
+    """
+    jct = color_type.jpeg_color_type
+    components = init_components(jct, config.sampling_factor)
+    max_h, max_v = max_sampling(components)
+    interleaved = config.mode() == "interleaved"
+
+    num_cols = _cdiv(width, 8 * max_h)
+    num_rows = _cdiv(height, 8 * max_v)
+    pad_w = num_cols * 8 * max_h
+    pad_h = num_rows * 8 * max_v
+
+    q_tables = [
+        quantization_table(config.quantization[0], config.quality, luma=True),
+        quantization_table(config.quantization[1], config.quality, luma=False),
+    ]
+
+    def fn(pixels):
+        if color_type is ColorType.LUMA and pixels.ndim == (3 if batched else 2):
+            px = pixels
+        else:
+            px = pixels
+        planes = to_planes(px, color_type)
+        out = []
+        for comp in components:
+            h_scale = max_h // comp.horizontal_sampling_factor
+            v_scale = max_v // comp.vertical_sampling_factor
+            plane = _pad_edge(planes[comp.id], pad_h, pad_w)
+            blocks = _component_blocks(plane, v_scale, h_scale)
+            dct = fdct_blocks(blocks)
+            flat = dct.reshape(*dct.shape[:-2], 64)
+            qz = quantize_zigzag(flat, q_tables[comp.quantization_table])
+            out.append(qz)  # (..., R, C, 64) int16
+
+        if interleaved:
+            # MCU scan order: (MCU, component-major blocks within MCU, 64).
+            streams = []
+            for comp, qz in zip(components, out):
+                cv = comp.vertical_sampling_factor
+                ch = comp.horizontal_sampling_factor
+                lead = qz.shape[:-3]
+                x = qz.reshape(*lead, num_rows, cv, num_cols, ch, 64)
+                x = jnp.moveaxis(x, -4, -3)  # -> (rows, cols, cv, ch, 64)
+                streams.append(x.reshape(*lead, num_rows * num_cols, cv * ch, 64))
+            mcu = jnp.concatenate(streams, axis=-2)
+            lead = mcu.shape[:-3]
+            return (mcu.reshape(*lead, -1, 64),)
+
+        # Sequential / progressive: per-component raster grids.
+        results = []
+        for comp, qz in zip(components, out):
+            h_scale = max_h // comp.horizontal_sampling_factor
+            v_scale = max_v // comp.vertical_sampling_factor
+            cols = _cdiv(_cdiv(width, 8), h_scale)
+            rows = _cdiv(_cdiv(height, 8), v_scale)
+            lead = qz.shape[:-3]
+            sliced = qz[..., :rows, :cols, :]
+            results.append(sliced.reshape(*lead, rows * cols, 64))
+        return tuple(results)
+
+    return jax.jit(fn), scan_layout(width, height, color_type, config)
+
+
+def scan_layout(width: int, height: int, color_type: ColorType, config: EncoderConfig):
+    """Static description of the block streams produced by the pipeline.
+
+    Returns a dict with:
+      components       — tuple[Component]
+      interleaved      — bool
+      mcu_count        — number of MCUs (interleaved only)
+      mcu_block_comps  — per-block-in-MCU component index (interleaved only)
+      comp_block_counts— per-component block counts (sequential/progressive)
+    """
+    jct = color_type.jpeg_color_type
+    components = init_components(jct, config.sampling_factor)
+    max_h, max_v = max_sampling(components)
+    interleaved = config.mode() == "interleaved"
+
+    layout = {
+        "components": components,
+        "interleaved": interleaved,
+        "max_h": max_h,
+        "max_v": max_v,
+    }
+    if interleaved:
+        num_cols = _cdiv(width, 8 * max_h)
+        num_rows = _cdiv(height, 8 * max_v)
+        blocks_per_mcu = []
+        for idx, comp in enumerate(components):
+            blocks_per_mcu += [idx] * (
+                comp.vertical_sampling_factor * comp.horizontal_sampling_factor
+            )
+        layout["mcu_count"] = num_rows * num_cols
+        layout["mcu_block_comps"] = tuple(blocks_per_mcu)
+    else:
+        counts = []
+        for comp in components:
+            h_scale = max_h // comp.horizontal_sampling_factor
+            v_scale = max_v // comp.vertical_sampling_factor
+            cols = _cdiv(_cdiv(width, 8), h_scale)
+            rows = _cdiv(_cdiv(height, 8), v_scale)
+            counts.append(rows * cols)
+        layout["comp_block_counts"] = tuple(counts)
+    return layout
+
+
+def coefficients_fn(
+    width: int,
+    height: int,
+    color_type: ColorType,
+    config: EncoderConfig,
+    batched: bool = False,
+):
+    """Public entry: jitted pixels->blocks function plus its scan layout."""
+    return _build_coefficients_fn(width, height, ColorType(color_type), config, batched)
