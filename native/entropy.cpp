@@ -1,0 +1,278 @@
+// Native entropy packer for the tpuenc TPU JPEG engine.
+//
+// Replaces the reference's serial per-coefficient bit-writer hot loop
+// (/root/reference/src/writer.rs:331-388, bit buffer at writer.rs:108-202)
+// with a parallel design exploiting JPEG's two independence seams:
+//
+//  * Restart segments are byte-aligned and bitstream-independent (DC
+//    predictors reset, 1-padded to byte boundary before each RST marker) —
+//    encoded on worker threads and concatenated.
+//  * Within a segment (or when no restart interval is set) the block stream
+//    is still chunked: each chunk's starting DC predictors are read directly
+//    from the coefficient data, chunks encode to bit-granular buffers in
+//    parallel, and a final pass shift-merges them and applies 0xFF byte
+//    stuffing.
+//
+// Outputs are byte-identical to the serial reference encoding for every
+// scan type: baseline interleaved (DC+AC), sequential per-component,
+// progressive DC-only and progressive AC band scans.
+//
+// Exposed via a single C ABI entry point consumed through ctypes
+// (tpuenc/entropy/native.py).
+
+#include <algorithm>
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+// Unstuffed, bit-granular output buffer (MSB-first).
+struct BitBuf {
+    std::vector<uint8_t> bytes;
+    uint64_t acc = 0;  // pending bits, low-aligned
+    int nbits = 0;     // number of pending bits (< 8)
+
+    inline void put(uint32_t value, int size) {
+        acc = (acc << size) | (value & ((1u << size) - 1u));
+        nbits += size;
+        while (nbits >= 8) {
+            nbits -= 8;
+            bytes.push_back((uint8_t)((acc >> nbits) & 0xFF));
+        }
+        acc &= (1ull << nbits) - 1ull;
+    }
+};
+
+// Final output writer: bit-accurate append with 0xFF->0xFF00 stuffing.
+struct StuffWriter {
+    uint8_t* out;
+    int64_t cap;
+    int64_t len = 0;
+    uint64_t acc = 0;
+    int nbits = 0;
+    bool overflow = false;
+
+    inline void put_byte_raw(uint8_t b) {
+        if (len >= cap) { overflow = true; return; }
+        out[len++] = b;
+        if (b == 0xFF) {
+            if (len >= cap) { overflow = true; return; }
+            out[len++] = 0x00;
+        }
+    }
+
+    inline void put(uint32_t value, int size) {
+        acc = (acc << size) | (value & ((1u << size) - 1u));
+        nbits += size;
+        while (nbits >= 8) {
+            nbits -= 8;
+            put_byte_raw((uint8_t)((acc >> nbits) & 0xFF));
+        }
+        acc &= (1ull << nbits) - 1ull;
+    }
+
+    inline void append(const BitBuf& b) {
+        if (nbits == 0) {
+            // Byte-aligned fast path: stuff-copy directly.
+            for (uint8_t v : b.bytes) put_byte_raw(v);
+        } else {
+            for (uint8_t v : b.bytes) put(v, 8);
+        }
+        if (b.nbits) put((uint32_t)b.acc, b.nbits);
+    }
+
+    // Pad to byte boundary with 1-bits (reference writer.rs:138-145).
+    inline void finalize_bits() {
+        if (nbits > 0) {
+            int pad = 8 - nbits;
+            put((1u << pad) - 1u, pad);
+        }
+        acc = 0;
+        nbits = 0;
+    }
+
+    inline void marker(uint8_t code) {
+        // Markers are not stuffed.
+        if (len + 2 > cap) { overflow = true; return; }
+        out[len++] = 0xFF;
+        out[len++] = code;
+    }
+};
+
+// (size, extra-bits) magnitude coding (reference writer.rs:455-470).
+static inline void get_code(int v, int& size, uint32_t& extra) {
+    int temp = v - (v < 0 ? 1 : 0);
+    unsigned av = (unsigned)(v < 0 ? -v : v);
+    size = 32 - __builtin_clz((av << 1) | 1) - 1;
+    extra = (uint32_t)temp & ((1u << size) - 1u);
+}
+
+struct ScanParams {
+    const int16_t* blocks;
+    int64_t n_blocks;
+    const int32_t* comp_ids;  // may be null -> all zero
+    const uint8_t* dc_sizes;  // [4][256]
+    const uint16_t* dc_codes;
+    const uint8_t* ac_sizes;
+    const uint16_t* ac_codes;
+    int64_t seg_blocks;  // restart interval in blocks (0 = none)
+    int spectral_start;
+    int spectral_end;
+    bool emit_dc;
+    bool emit_ac;
+};
+
+// Encode blocks [b0, b1) into `bb` with given starting DC predictors.
+static void encode_range(const ScanParams& p, int64_t b0, int64_t b1,
+                         int prev_dc_init[4], BitBuf& bb) {
+    int prev_dc[4] = {prev_dc_init[0], prev_dc_init[1], prev_dc_init[2],
+                      prev_dc_init[3]};
+    const int ss = p.spectral_start, se = p.spectral_end;
+
+    for (int64_t b = b0; b < b1; ++b) {
+        const int16_t* blk = p.blocks + b * 64;
+        const int ci = p.comp_ids ? p.comp_ids[b] : 0;
+
+        if (p.emit_dc) {
+            int dc = blk[0];
+            int diff = dc - prev_dc[ci];
+            prev_dc[ci] = dc;
+            int size;
+            uint32_t extra;
+            get_code(diff, size, extra);
+            const uint8_t hs = p.dc_sizes[ci * 256 + size];
+            const uint16_t hc = p.dc_codes[ci * 256 + size];
+            bb.put(((uint32_t)hc << size) | extra, hs + size);
+        }
+
+        if (p.emit_ac) {
+            const uint8_t* asz = p.ac_sizes + ci * 256;
+            const uint16_t* acd = p.ac_codes + ci * 256;
+            int zero_run = 0;
+            for (int i = ss; i < se; ++i) {
+                int v = blk[i];
+                if (v == 0) {
+                    ++zero_run;
+                } else {
+                    while (zero_run > 15) {
+                        bb.put(acd[0xF0], asz[0xF0]);
+                        zero_run -= 16;
+                    }
+                    int size;
+                    uint32_t extra;
+                    get_code(v, size, extra);
+                    int sym = (zero_run << 4) | size;
+                    bb.put(((uint32_t)acd[sym] << size) | extra,
+                           asz[sym] + size);
+                    zero_run = 0;
+                }
+            }
+            if (zero_run > 0) bb.put(acd[0x00], asz[0x00]);
+        }
+    }
+}
+
+struct Task {
+    int64_t b0, b1;
+    int64_t segment;        // segment index this chunk belongs to
+    int prev_dc[4];
+    BitBuf bb;
+};
+
+}  // namespace
+
+extern "C" int64_t tpuenc_encode_scan(
+    const int16_t* blocks, int64_t n_blocks, const int32_t* comp_ids,
+    const uint8_t* dc_sizes, const uint16_t* dc_codes,
+    const uint8_t* ac_sizes, const uint16_t* ac_codes,
+    int64_t restart_interval_blocks, int spectral_start, int spectral_end,
+    int emit_dc, int emit_ac, int num_threads, uint8_t* out,
+    int64_t out_cap) {
+    ScanParams p{blocks,   n_blocks, comp_ids,  dc_sizes,
+                 dc_codes, ac_sizes, ac_codes,  restart_interval_blocks,
+                 spectral_start,     spectral_end,
+                 emit_dc != 0,       emit_ac != 0};
+
+    if (n_blocks <= 0) return 0;
+    if (num_threads < 1) num_threads = 1;
+
+    const int64_t seg = p.seg_blocks > 0 ? p.seg_blocks : n_blocks;
+    const int64_t n_segments = (n_blocks + seg - 1) / seg;
+
+    // Build tasks: split each segment into chunks so there are roughly
+    // 4*threads tasks total for load balance; chunk DC predictors are
+    // seeded from the preceding block's DC of the same component.
+    const int64_t target_tasks = (int64_t)num_threads * 4;
+    const int64_t min_chunk = 256;
+    int64_t chunk = n_blocks / (target_tasks ? target_tasks : 1);
+    if (chunk < min_chunk) chunk = min_chunk;
+
+    std::vector<Task> tasks;
+    for (int64_t s = 0; s < n_segments; ++s) {
+        const int64_t s0 = s * seg;
+        const int64_t s1 = std::min(s0 + seg, n_blocks);
+        for (int64_t c0 = s0; c0 < s1; c0 += chunk) {
+            Task t;
+            t.b0 = c0;
+            t.b1 = std::min(c0 + chunk, s1);
+            t.segment = s;
+            if (p.emit_dc) {
+                // Seed predictors: last DC per component in [s0, c0).
+                bool found[4] = {false, false, false, false};
+                int remaining = comp_ids ? 4 : 1;
+                t.prev_dc[0] = t.prev_dc[1] = t.prev_dc[2] = t.prev_dc[3] = 0;
+                for (int64_t b = c0 - 1; b >= s0 && remaining > 0; --b) {
+                    int ci = comp_ids ? comp_ids[b] : 0;
+                    if (!found[ci]) {
+                        found[ci] = true;
+                        t.prev_dc[ci] = blocks[b * 64];
+                        --remaining;
+                    }
+                }
+            } else {
+                t.prev_dc[0] = t.prev_dc[1] = t.prev_dc[2] = t.prev_dc[3] = 0;
+            }
+            tasks.push_back(std::move(t));
+        }
+    }
+
+    // Encode tasks in parallel.
+    std::atomic<size_t> next{0};
+    auto worker = [&]() {
+        for (;;) {
+            size_t i = next.fetch_add(1);
+            if (i >= tasks.size()) break;
+            encode_range(p, tasks[i].b0, tasks[i].b1, tasks[i].prev_dc,
+                         tasks[i].bb);
+        }
+    };
+    int nt = std::min<int64_t>(num_threads, (int64_t)tasks.size());
+    if (nt > 1) {
+        std::vector<std::thread> threads;
+        for (int i = 0; i < nt; ++i) threads.emplace_back(worker);
+        for (auto& th : threads) th.join();
+    } else {
+        worker();
+    }
+
+    // Merge: bit-concatenate chunks of each segment, finalize (pad 1s) at
+    // segment boundaries, emit RST markers between segments
+    // (reference encoder.rs:723-757: RST index cycles 0..7).
+    StuffWriter w{out, out_cap};
+    int64_t cur_segment = 0;
+    for (size_t i = 0; i < tasks.size(); ++i) {
+        if (tasks[i].segment != cur_segment) {
+            w.finalize_bits();
+            w.marker((uint8_t)(0xD0 + ((tasks[i].segment - 1) & 7)));
+            cur_segment = tasks[i].segment;
+        }
+        w.append(tasks[i].bb);
+        if (w.overflow) return -1;
+    }
+    w.finalize_bits();
+    if (w.overflow) return -1;
+    return w.len;
+}

@@ -1,0 +1,220 @@
+"""MCU-row-stripe sharding of the encode pipeline.
+
+The TPU scaling story for a single large image (SURVEY §5 "long context"
+analog): the MCU-row grid is partitioned into contiguous stripes, one per
+device along the ``stripe`` mesh axis, while a ``batch`` axis data-parallels
+whole images.  Because every block's DCT/quantize is independent and the
+entropy stream is assembled per MCU-row raster, stripes need **no halo
+exchange**; the only cross-device traffic is:
+
+* ``psum`` of Huffman symbol histograms (two-pass optimized tables), and
+* a ``ppermute`` shift of each stripe's final DC coefficients so the DC
+  differential chain stays exact across stripe boundaries.
+
+The local computation is the same batched pipeline as the single-chip path
+(``kernels.pipeline``), run under ``shard_map`` so partitioning is explicit
+and XLA inserts no surprise collectives.
+
+Stripe alignment: each stripe owns ``rows_per_stripe`` MCU rows; the image
+is edge-padded (replicating the last real row, reference semantics
+encoder.rs:738-744) up to ``n_stripes * rows_per_stripe`` MCU rows, and the
+host entropy assembly drops blocks from padding MCU rows.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.tables import quantization_table
+from ..core.types import ColorType, EncoderConfig, init_components, max_sampling
+from ..entropy.device import scan_histograms
+from ..kernels.color_convert import to_planes
+from ..kernels.fdct import fdct_blocks
+from ..kernels.pipeline import _blockify, _cdiv
+from ..kernels.quantize import quantize_zigzag
+
+
+def stripe_geometry(width: int, height: int, color_type: ColorType,
+                    config: EncoderConfig, n_stripes: int):
+    """Static geometry of the striped layout."""
+    jct = ColorType(color_type).jpeg_color_type
+    components = init_components(jct, config.sampling_factor)
+    max_h, max_v = max_sampling(components)
+    num_cols = _cdiv(width, 8 * max_h)
+    num_rows = _cdiv(height, 8 * max_v)
+    rows_per_stripe = _cdiv(num_rows, n_stripes)
+    return {
+        "components": components,
+        "max_h": max_h,
+        "max_v": max_v,
+        "num_cols": num_cols,
+        "num_rows": num_rows,
+        "rows_per_stripe": rows_per_stripe,
+        "pad_h": n_stripes * rows_per_stripe * 8 * max_v,
+        "pad_w": num_cols * 8 * max_h,
+    }
+
+
+def pad_for_stripes(pixels: np.ndarray, geo) -> np.ndarray:
+    """Host-side edge-replicating pad of (..., H, W[, C]) pixels to the
+    stripe-aligned canvas."""
+    h_axis = pixels.ndim - (3 if pixels.ndim >= 3 else 2)
+    spatial_offset = pixels.ndim - 2 if pixels.ndim == 2 else pixels.ndim - 3
+    pad = [(0, 0)] * pixels.ndim
+    pad[spatial_offset] = (0, geo["pad_h"] - pixels.shape[spatial_offset])
+    pad[spatial_offset + 1] = (0, geo["pad_w"] - pixels.shape[spatial_offset + 1])
+    return np.pad(pixels, pad, mode="edge")
+
+
+@lru_cache(maxsize=32)
+def _build_stripe_fn(
+    width: int,
+    height: int,
+    color_type: ColorType,
+    config: EncoderConfig,
+    mesh: Mesh,
+    with_histograms: bool,
+):
+    n_stripes = mesh.shape["stripe"]
+    geo = stripe_geometry(width, height, color_type, config, n_stripes)
+    components = geo["components"]
+    max_h, max_v = geo["max_h"], geo["max_v"]
+    num_cols = geo["num_cols"]
+    rows_local = geo["rows_per_stripe"]
+    interleaved = config.mode() == "interleaved"
+
+    q_tables = [
+        quantization_table(config.quantization[0], config.quality, luma=True),
+        quantization_table(config.quantization[1], config.quality, luma=False),
+    ]
+
+    def local_fn(px):
+        # px: (B_local, rows_local*8*max_v, pad_w, C) — one stripe of each
+        # local image.  Same math as kernels.pipeline but with no padding
+        # (the canvas is pre-padded) and stripe-local row counts.
+        planes = to_planes(px, color_type)
+        out = []
+        for comp in components:
+            h_scale = max_h // comp.horizontal_sampling_factor
+            v_scale = max_v // comp.vertical_sampling_factor
+            sub = planes[comp.id][..., ::v_scale, ::h_scale] - 128
+            blocks = _blockify(sub)
+            dct = fdct_blocks(blocks)
+            qz = quantize_zigzag(
+                dct.reshape(*dct.shape[:-2], 64),
+                q_tables[comp.quantization_table],
+            )
+            out.append(qz)
+
+        if interleaved:
+            streams = []
+            for comp, qz in zip(components, out):
+                cv = comp.vertical_sampling_factor
+                ch = comp.horizontal_sampling_factor
+                lead = qz.shape[:-3]
+                x = qz.reshape(*lead, rows_local, cv, num_cols, ch, 64)
+                x = jnp.moveaxis(x, -4, -3)
+                streams.append(x.reshape(*lead, rows_local * num_cols, cv * ch, 64))
+            mcu = jnp.concatenate(streams, axis=-2)
+            lead = mcu.shape[:-3]
+            coeff = (mcu.reshape(*lead, -1, 64),)
+        else:
+            coeff = tuple(
+                qz.reshape(*qz.shape[:-3], -1, 64) for qz in out
+            )
+
+        if not with_histograms:
+            return coeff
+
+        # Per-stripe histograms; DC chains are made boundary-exact by
+        # shifting each stripe's last DC to its right neighbor via
+        # ppermute before differencing.
+        comp_streams = coeff if not interleaved else tuple(
+            qz.reshape(*qz.shape[:-3], -1, 64) for qz in out
+        )
+        fixed = []
+        n = n_stripes
+        perm = [(i, i + 1) for i in range(n - 1)]
+        for stream in comp_streams:
+            flat = stream.reshape(-1, 64)
+            last_dc = flat[-1, 0].astype(jnp.int32)
+            prev0 = jax.lax.ppermute(last_dc, "stripe", perm)
+            # Emulate the serial chain: subtract prev0 from the first
+            # block's diff by adjusting a copy of the stream's DC lane.
+            fixed.append((flat, prev0))
+
+        hists = _histograms_with_boundary(fixed, components, config)
+        hists = jax.tree.map(
+            lambda h: jax.lax.psum(h, ("batch", "stripe")), hists
+        )
+        return coeff, hists
+
+    def _histograms_with_boundary(fixed, components, config):
+        from ..entropy.device import ac_histogram, bit_length
+        from ..entropy.huffopt import progressive_bands
+
+        max_tables = min(len(components), 2)
+        out = []
+        for table in range(max_tables):
+            dc = jnp.zeros(257, dtype=jnp.int32)
+            ac = jnp.zeros(257, dtype=jnp.int32)
+            for comp, (flat, prev0) in zip(components, fixed):
+                if comp.dc_huffman_table == table:
+                    dcv = flat[:, 0].astype(jnp.int32)
+                    prev = jnp.concatenate([prev0[None], dcv[:-1]])
+                    sizes = bit_length(dcv - prev)
+                    dc = dc.at[sizes].add(1)
+                if comp.ac_huffman_table == table:
+                    if config.progressive_scans is not None:
+                        for s, e in progressive_bands(config.progressive_scans):
+                            ac = ac + ac_histogram(flat, s, e)
+                    else:
+                        ac = ac + ac_histogram(flat, 1, 64)
+            out.append((dc, ac))
+        return tuple(out)
+
+    in_spec = P("batch", "stripe", None, None)
+    if ColorType(color_type) is ColorType.LUMA:
+        in_spec = P("batch", "stripe", None)
+    coeff_spec = P("batch", "stripe", None)
+
+    if with_histograms:
+        ncomp = len(components)
+        n_streams = 1 if interleaved else ncomp
+        out_specs = (
+            tuple([coeff_spec] * n_streams),
+            tuple([(P(None), P(None))] * min(ncomp, 2)),
+        )
+    else:
+        n_streams = 1 if interleaved else len(components)
+        out_specs = tuple([coeff_spec] * n_streams)
+
+    fn = shard_map(local_fn, mesh=mesh, in_specs=(in_spec,), out_specs=out_specs)
+    return jax.jit(fn), geo
+
+
+def stripe_encode_step(
+    width: int,
+    height: int,
+    color_type: ColorType,
+    config: EncoderConfig,
+    mesh: Mesh,
+    with_histograms: bool = False,
+):
+    """Jitted sharded pixels->coefficients (+psum histograms) step.
+
+    The returned function takes pixels of shape (B, pad_h, pad_w, C) (use
+    :func:`pad_for_stripes`; B divisible by the ``batch`` axis) and returns
+    per-stream int16 coefficient arrays whose block axis is ordered
+    stripe-major — i.e. the global MCU-row raster order.
+    """
+    return _build_stripe_fn(
+        width, height, ColorType(color_type), config, mesh, with_histograms
+    )
