@@ -184,6 +184,33 @@ struct Task {
 
 }  // namespace
 
+// Assemble a scan from device-packed segment bytes: apply 0xFF->0xFF00
+// stuffing within each (already byte-aligned, 1-padded) segment and insert
+// RST markers (index cycling 0..7) between segments.  Mirrors the byte
+// layout the serial reference writer produces (encoder.rs:723-757).
+extern "C" int64_t tpuenc_stuff_segments(
+    const uint8_t* in, const int64_t* seg_lens, int64_t n_segs, uint8_t* out,
+    int64_t out_cap) {
+    int64_t ip = 0, op = 0;
+    for (int64_t s = 0; s < n_segs; ++s) {
+        if (s > 0) {
+            if (op + 2 > out_cap) return -1;
+            out[op++] = 0xFF;
+            out[op++] = (uint8_t)(0xD0 + ((s - 1) & 7));
+        }
+        const int64_t len = seg_lens[s];
+        // Worst case doubles the segment.
+        if (op + 2 * len > out_cap) return -1;
+        for (int64_t i = 0; i < len; ++i) {
+            uint8_t b = in[ip + i];
+            out[op++] = b;
+            if (b == 0xFF) out[op++] = 0x00;
+        }
+        ip += len;
+    }
+    return op;
+}
+
 extern "C" int64_t tpuenc_encode_scan(
     const int16_t* blocks, int64_t n_blocks, const int32_t* comp_ids,
     const uint8_t* dc_sizes, const uint16_t* dc_codes,

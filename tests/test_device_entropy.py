@@ -1,0 +1,176 @@
+"""Device bit-packer tests: the on-device log-tree bitstream reduction must
+produce byte-identical output to the host oracle for every mode."""
+
+import os
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from tpuenc import ColorType, Encoder, SamplingFactor
+from tpuenc.core.tables import default_tables
+from tpuenc.entropy import native
+from tpuenc.entropy.bitpack import encode_scan
+from tpuenc.entropy.device_encode import tables_to_arrays
+from tpuenc.entropy.device_pack import ScanSpec, scan_pack, words_to_bytes
+
+
+def _rand_image(w, h, seed=0):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [xx * 255 // w, yy * 255 // h, (xx + yy) * 255 // (w + h)], axis=2
+    ).astype(int)
+    return np.clip(img + rng.integers(-25, 25, img.shape), 0, 255).astype(
+        np.uint8
+    )
+
+
+_jit_cache = {}
+
+
+def _scan_pack_jit(spec, budget):
+    key = (spec, budget)
+    if key not in _jit_cache:
+        _jit_cache[key] = jax.jit(
+            lambda b, *t: scan_pack(b, spec, *t, budget)
+        )
+    return _jit_cache[key]
+
+
+def _scan_pack_bytes(blocks, spec, huffman, budget=48):
+    tabs = tables_to_arrays(huffman)
+    words, bits, seg_bits, ovf = _scan_pack_jit(spec, budget)(
+        jnp.asarray(blocks), *(jnp.asarray(t) for t in tabs)
+    )
+    assert not bool(ovf)
+    total = int(bits) >> 3
+    raw = np.asarray(words_to_bytes(words))[:total].tobytes()
+    segs = (np.asarray(seg_bits) >> 3).tolist()
+    return native.stuff_segments_py(raw, segs)
+
+
+def test_scan_pack_matches_oracle_single_component():
+    (ldc, lac), (cdc, cac) = default_tables()
+    rng = np.random.default_rng(1)
+    B = 600
+    for trial in range(6):
+        blocks = (
+            rng.integers(-60, 60, size=(B, 64)) * (rng.random((B, 64)) < 0.2)
+        ).astype(np.int16)
+        blocks[:, 0] = rng.integers(-300, 300, size=B)
+        interval = [0, 0, 3, 17][trial % 4]
+        spec = ScanSpec(1, 64, True, True, (0,), (0,), (1,), interval)
+        got = _scan_pack_bytes(blocks, spec, [(ldc, lac), (cdc, cac)])
+        want = encode_scan(
+            blocks, None, [ldc], [lac], restart_interval_blocks=interval
+        )
+        assert got == want, trial
+
+
+def test_scan_pack_matches_oracle_interleaved_pattern():
+    (ldc, lac), (cdc, cac) = default_tables()
+    rng = np.random.default_rng(2)
+    pattern = (0, 0, 0, 0, 1, 2)  # 2x2 Y + Cb + Cr
+    n_mcu = 40
+    B = n_mcu * len(pattern)
+    blocks = (
+        rng.integers(-40, 40, size=(B, 64)) * (rng.random((B, 64)) < 0.25)
+    ).astype(np.int16)
+    comp_ids = np.tile(np.array(pattern, np.int32), n_mcu)
+    tab = (0, 0, 0, 0, 1, 1)
+    for interval_mcus in (0, 5):
+        spec = ScanSpec(
+            1, 64, True, True, tab, tab, (3, 1, 1, 1, 6, 6),
+            interval_mcus * len(pattern),
+        )
+        got = _scan_pack_bytes(blocks, spec, [(ldc, lac), (cdc, cac)])
+        want = encode_scan(
+            blocks, comp_ids, [ldc, cdc, cdc], [lac, cac, cac],
+            restart_interval_blocks=interval_mcus * len(pattern),
+        )
+        assert got == want
+
+
+def test_scan_pack_progressive_bands():
+    (ldc, lac), _ = default_tables()
+    rng = np.random.default_rng(3)
+    B = 150
+    blocks = (
+        rng.integers(-80, 80, size=(B, 64)) * (rng.random((B, 64)) < 0.3)
+    ).astype(np.int16)
+    # DC-only scan.
+    spec = ScanSpec(1, 1, True, False, (0,), (0,), (1,), 0)
+    got = _scan_pack_bytes(blocks, spec, [(ldc, lac)])
+    want = encode_scan(blocks, None, [ldc], [None], emit_ac=False)
+    assert got == want
+    # AC band scans.
+    for start, end in [(1, 21), (21, 42), (42, 64)]:
+        spec = ScanSpec(start, end, False, True, (0,), (0,), (1,), 7)
+        got = _scan_pack_bytes(blocks, spec, [(ldc, lac)])
+        want = encode_scan(
+            blocks, None, [None], [lac],
+            emit_dc=False, spectral_start=start, spectral_end=end,
+            restart_interval_blocks=7,
+        )
+        assert got == want
+
+
+def test_budget_overflow_flag():
+    (ldc, lac), _ = default_tables()
+    rng = np.random.default_rng(4)
+    # Dense high-magnitude blocks at a tiny budget must overflow...
+    blocks = rng.integers(-1000, 1000, size=(32, 64)).astype(np.int16)
+    tabs = tables_to_arrays([(ldc, lac)])
+    spec = ScanSpec(1, 64, True, True, (0,), (0,), (1,), 0)
+    _, _, _, ovf = _scan_pack_jit(spec, 4)(
+        jnp.asarray(blocks), *(jnp.asarray(t) for t in tabs)
+    )
+    assert bool(ovf)
+    # ...and the worst-case budget must not.
+    _, _, _, ovf = _scan_pack_jit(spec, 224)(
+        jnp.asarray(blocks), *(jnp.asarray(t) for t in tabs)
+    )
+    assert not bool(ovf)
+
+
+@pytest.mark.parametrize(
+    "name,quality,setup",
+    [
+        ("interleaved", 80, lambda e: None),
+        ("q100_444", 100, lambda e: e.set_sampling_factor(SamplingFactor.F_1_1)),
+        ("seq_4x1", 80, lambda e: e.set_sampling_factor(SamplingFactor.F_4_1)),
+        ("progressive", 80, lambda e: e.set_progressive(True)),
+        ("optimized", 95, lambda e: e.set_optimized_huffman_tables(True)),
+        (
+            "opt_prog",
+            95,
+            lambda e: (
+                e.set_optimized_huffman_tables(True),
+                e.set_progressive(True),
+            ),
+        ),
+        ("restart", 80, lambda e: e.set_restart_interval(4)),
+    ],
+)
+def test_full_encode_device_matches_host(name, quality, setup):
+    w, h = 130, 66
+    img = _rand_image(w, h)
+    old = os.environ.get("TPUENC_DEVICE_ENTROPY")
+    try:
+        os.environ["TPUENC_DEVICE_ENTROPY"] = "0"
+        e1 = Encoder(quality)
+        setup(e1)
+        host = e1.encode(img.tobytes(), w, h, ColorType.RGB)
+        os.environ["TPUENC_DEVICE_ENTROPY"] = "strict"
+        e2 = Encoder(quality)
+        setup(e2)
+        dev = e2.encode(img.tobytes(), w, h, ColorType.RGB)
+    finally:
+        if old is None:
+            os.environ.pop("TPUENC_DEVICE_ENTROPY", None)
+        else:
+            os.environ["TPUENC_DEVICE_ENTROPY"] = old
+    assert host == dev, name

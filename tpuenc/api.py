@@ -245,9 +245,6 @@ class Encoder:
         jct = color_type.jpeg_color_type
         components = init_components(jct, config.sampling_factor)
 
-        fn, layout = coefficients_fn(width, height, color_type, config)
-        comp_blocks = [np.asarray(b) for b in fn(pixels)]
-
         q_tables = [
             quantization_table(config.quantization[0], config.quality, luma=True),
             quantization_table(config.quantization[1], config.quality, luma=False),
@@ -264,32 +261,134 @@ class Encoder:
         for nr, data in self._app_segments:
             out += segments.segment(markers.APP(nr), data)
 
-        mode = config.mode()
-        if mode == "interleaved":
-            out += self._encode_interleaved(
-                comp_blocks[0], layout, components, q_tables, huffman,
-                width, height, config,
+        body = self._encode_body_device(
+            pixels, width, height, color_type, config, components,
+            q_tables, huffman,
+        )
+        if body is None:
+            body = self._encode_body_host(
+                pixels, width, height, color_type, config, components,
+                q_tables, huffman,
             )
-        else:
-            if config.optimize_huffman_table:
-                optimized = optimize_tables(
-                    comp_blocks, components, config.progressive_scans
-                )
-                for i, pair in enumerate(optimized):
-                    huffman[i] = list(pair)
-            if mode == "sequential":
-                out += self._encode_sequential(
-                    comp_blocks, components, q_tables, huffman,
-                    width, height, config,
-                )
-            else:
-                out += self._encode_progressive(
-                    comp_blocks, components, q_tables, huffman,
-                    width, height, config,
-                )
+        out += body
 
         out += segments.marker(markers.EOI)
         return bytes(out)
+
+    def _encode_body_device(
+        self, pixels, width, height, color_type, config, components,
+        q_tables, huffman,
+    ) -> Optional[bytes]:
+        """Fully-on-device scan encoding (entropy.device_encode); returns
+        None to fall back to the host path."""
+        import os
+
+        flag = os.environ.get("TPUENC_DEVICE_ENTROPY", "1")
+        if flag == "0":
+            return None
+        strict = flag == "strict"
+        try:
+            from .entropy import device_encode as de
+
+            plan_len = 1
+            if config.mode() != "interleaved":
+                ncomp = len(components)
+                plan_len = ncomp
+                if config.progressive_scans is not None:
+                    plan_len = ncomp + (config.progressive_scans - 1) * ncomp
+            if plan_len > 48:
+                return None  # giant progressive scan counts: host path
+
+            if config.optimize_huffman_table:
+                fn, comps = de._build_coeff_hist_fn(
+                    width, height, color_type, config
+                )
+                streams, hists = fn(pixels)
+                from .core.tables import optimized_huffman_table
+
+                for i, (dc_h, ac_h) in enumerate(hists):
+                    dc_freq = np.zeros(257, np.int64)
+                    dc_freq[:256] = np.asarray(dc_h)[:256]
+                    dc_freq[256] = 1
+                    ac_freq = np.zeros(257, np.int64)
+                    ac_freq[:256] = np.asarray(ac_h)[:256]
+                    ac_freq[256] = 1
+                    huffman[i] = [
+                        optimized_huffman_table(dc_freq),
+                        optimized_huffman_table(ac_freq),
+                    ]
+                scans = de.device_encode_scans(
+                    pixels, width, height, color_type, config, huffman,
+                    comp_streams=streams,
+                )
+            else:
+                scans = de.device_encode_scans(
+                    pixels, width, height, color_type, config, huffman
+                )
+            if scans is None:
+                return None
+            return self._assemble_scans(
+                scans, width, height, color_type, config, components,
+                q_tables, huffman,
+            )
+        except Exception:
+            if strict:
+                raise
+            return None
+
+    def _assemble_scans(
+        self, scan_payloads, width, height, color_type, config, components,
+        q_tables, huffman,
+    ) -> bytes:
+        """Frame header + per-scan SOS + entropy payloads, following the
+        scan plan shared with the device path."""
+        from .entropy.device_encode import build_scan_plan
+        from .kernels.pipeline import scan_layout
+
+        layout = scan_layout(width, height, color_type, config)
+        plan = build_scan_plan(layout, components, config)
+        out = bytearray()
+        out += self._frame_header(
+            width, height, components, q_tables, huffman, config,
+            len(components),
+        )
+        interleaved = layout["interleaved"]
+        for (stream_idx, spec, spectral), payload in zip(plan, scan_payloads):
+            sos_comps = (
+                list(components) if interleaved else [components[stream_idx]]
+            )
+            out += segments.sos(sos_comps, spectral)
+            out += payload
+        return bytes(out)
+
+    def _encode_body_host(
+        self, pixels, width, height, color_type, config, components,
+        q_tables, huffman,
+    ) -> bytes:
+        fn, layout = coefficients_fn(width, height, color_type, config)
+        comp_blocks = [np.asarray(b) for b in fn(pixels)]
+
+        mode = config.mode()
+        if mode == "interleaved":
+            return self._encode_interleaved(
+                comp_blocks[0], layout, components, q_tables, huffman,
+                width, height, config,
+            )
+        if config.optimize_huffman_table:
+            optimized = optimize_tables(
+                comp_blocks, components, config.progressive_scans
+            )
+            for i, pair in enumerate(optimized):
+                huffman[i] = list(pair)
+        if mode == "sequential":
+            return self._encode_sequential(
+                comp_blocks, components, q_tables, huffman,
+                width, height, config,
+            )
+        return self._encode_progressive(
+            comp_blocks, components, q_tables, huffman,
+            width, height, config,
+        )
 
     def _frame_header(
         self,

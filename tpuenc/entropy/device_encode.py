@@ -1,0 +1,355 @@
+"""Fused device encode: pixels -> final scan bytes on-device.
+
+Orchestrates the whole-image encode as (at most) two jit calls so that only
+compressed bytes and tiny metadata ever cross the host link:
+
+* default-table modes: ONE jit program runs color convert -> fDCT ->
+  quantize -> device bit packing (``device_pack.scan_pack``) for every scan
+  of the mode, assembles all scan streams into a single byte buffer with
+  dynamic-offset writes, and returns (buffer, meta).
+* optimized-table modes: call 1 produces coefficients (kept on device) plus
+  psum-able symbol histograms; the host runs the tiny K.2 table build; call
+  2 packs with the optimized tables passed as array arguments (no
+  recompile).
+
+The host then performs the O(output) finishing pass: split per scan /
+restart segment, 0xFF-stuff, insert RST markers (native
+``tpuenc_stuff_segments``) and splice JFIF headers.
+
+Chunk capacities in the packing tree follow a words-per-block budget;
+on the (rare) overflow the encode retries with a fatter budget —
+escalating to a worst-case-safe bound — and remembers the working budget
+per (shape, config).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.tables import HuffmanTable, quantization_table
+from ..core.types import ColorType, EncoderConfig, init_components, max_sampling
+from . import native
+from .device_pack import ScanSpec, scan_pack, words_to_bytes
+from .huffopt import progressive_bands
+
+# Worst-case-safe budget: a block's items can never exceed 193 words
+# (64 slots x 3 words + tail), so 224 words/block never clips.
+BUDGET_LADDER = (16, 48, 224)
+
+# (key) -> working budget, learned across calls.
+_budget_memo: dict = {}
+
+
+def _dc_prev_delta(pattern: Tuple[int, ...]) -> Tuple[int, ...]:
+    """Distance from each pattern slot to the previous slot of the same
+    component in the cyclically repeated pattern."""
+    n = len(pattern)
+    deltas = []
+    for s in range(n):
+        d = 1
+        while d <= n:
+            if pattern[(s - d) % n] == pattern[s]:
+                break
+            d += 1
+        deltas.append(d)
+    return tuple(deltas)
+
+
+def build_scan_plan(layout, components, config: EncoderConfig):
+    """List of (stream_index, ScanSpec, spectral) for the config's mode.
+
+    ``stream_index`` selects which coefficient stream feeds the scan: 0 for
+    the interleaved MCU stream, or the component index for
+    sequential/progressive scans.  ``spectral`` is the SOS (Ss, Se) pair.
+    """
+    mode = config.mode()
+    scans = []
+    if mode == "interleaved":
+        comp_pattern = layout["mcu_block_comps"]
+        dc_pat = tuple(components[c].dc_huffman_table for c in comp_pattern)
+        ac_pat = tuple(components[c].ac_huffman_table for c in comp_pattern)
+        delta = _dc_prev_delta(comp_pattern)
+        seg = (config.restart_interval or 0) * len(comp_pattern)
+        scans.append(
+            (
+                0,
+                ScanSpec(1, 64, True, True, dc_pat, ac_pat, delta, seg),
+                None,
+            )
+        )
+        return scans
+
+    interval = config.restart_interval or 0
+    if mode == "sequential":
+        for i, comp in enumerate(components):
+            scans.append(
+                (
+                    i,
+                    ScanSpec(
+                        1, 64, True, True,
+                        (comp.dc_huffman_table,), (comp.ac_huffman_table,),
+                        (1,), interval,
+                    ),
+                    None,
+                )
+            )
+        return scans
+
+    # Progressive: per-component DC scans, then AC bands with the component
+    # loop inside the band loop (encoder.rs:869-975).
+    for i, comp in enumerate(components):
+        scans.append(
+            (
+                i,
+                ScanSpec(
+                    1, 1, True, False,
+                    (comp.dc_huffman_table,), (comp.ac_huffman_table,),
+                    (1,), interval,
+                ),
+                (0, 0),
+            )
+        )
+    for start, end in progressive_bands(config.progressive_scans):
+        for i, comp in enumerate(components):
+            scans.append(
+                (
+                    i,
+                    ScanSpec(
+                        start, end, False, True,
+                        (comp.dc_huffman_table,), (comp.ac_huffman_table,),
+                        (1,), interval,
+                    ),
+                    (start, end - 1),
+                )
+            )
+    return scans
+
+
+def _n_segments(n_blocks: int, seg_blocks: int) -> int:
+    seg = seg_blocks if seg_blocks > 0 else n_blocks
+    return -(-n_blocks // seg)
+
+
+def _pack_scans(comp_streams, scan_plan, block_counts, tabs, budget):
+    """Pack every scan and assemble one byte buffer on device.
+
+    Returns (buf_u8, meta_i32) where meta = [overflow,
+    scan_bits..., seg_bits...] (scan order, then all segments in order).
+    """
+    dc_sizes, dc_codes, ac_sizes, ac_codes = tabs
+    bufs = []
+    scan_bits = []
+    seg_bits_all = []
+    overflow = jnp.asarray(False)
+    caps_bytes = []
+    for stream_idx, spec, _ in scan_plan:
+        words, bits, seg_bits, ovf = scan_pack(
+            comp_streams[stream_idx], spec,
+            dc_sizes, dc_codes, ac_sizes, ac_codes, budget,
+        )
+        bufs.append(words_to_bytes(words))
+        caps_bytes.append(bufs[-1].shape[0])
+        scan_bits.append(bits)
+        seg_bits_all.append(seg_bits)
+        overflow = overflow | ovf
+
+    total_cap = sum(caps_bytes)
+    out = jnp.zeros((total_cap,), dtype=jnp.uint8)
+    offset = jnp.zeros((), dtype=jnp.int32)
+    for b, bits in zip(bufs, scan_bits):
+        out = jax.lax.dynamic_update_slice(out, b, (offset,))
+        offset = offset + (bits >> 3)
+
+    meta = jnp.concatenate(
+        [
+            overflow.astype(jnp.int32)[None],
+            jnp.stack(scan_bits),
+            jnp.concatenate(seg_bits_all),
+        ]
+    )
+    return out, meta
+
+
+@lru_cache(maxsize=32)
+def _build_fused_fn(
+    width: int,
+    height: int,
+    color_type: ColorType,
+    config: EncoderConfig,
+    budget: int,
+):
+    """jit(pixels, dc_sizes, dc_codes, ac_sizes, ac_codes) -> (buf, meta)."""
+    from ..kernels.pipeline import _build_coefficients_fn, scan_layout
+
+    layout = scan_layout(width, height, color_type, config)
+    components = layout["components"]
+    scan_plan = build_scan_plan(layout, components, config)
+
+    # Re-create the coefficient pipeline inline so everything fuses into a
+    # single program.
+    coeff_fn, _ = _build_coefficients_fn(width, height, color_type, config, False)
+    inner = coeff_fn.raw_fn  # the untraced body
+
+    def fn(pixels, dc_sizes, dc_codes, ac_sizes, ac_codes):
+        streams = inner(pixels)
+        return _pack_scans(
+            streams, scan_plan, None,
+            (dc_sizes, dc_codes, ac_sizes, ac_codes), budget,
+        )
+
+    if layout["interleaved"]:
+        block_counts = [len(layout["mcu_block_comps"]) * layout["mcu_count"]]
+    else:
+        block_counts = list(layout["comp_block_counts"])
+
+    seg_structure = [
+        _n_segments(block_counts[si], spec.seg_blocks)
+        for si, spec, _ in scan_plan
+    ]
+    return jax.jit(fn), scan_plan, seg_structure
+
+
+@lru_cache(maxsize=32)
+def _build_pack_only_fn(
+    width: int,
+    height: int,
+    color_type: ColorType,
+    config: EncoderConfig,
+    budget: int,
+):
+    """Packing stage alone: jit(streams..., tables...) -> (buf, meta).
+    Used for the two-pass optimized-table flow where coefficients already
+    live on device."""
+    from ..kernels.pipeline import scan_layout
+
+    layout = scan_layout(width, height, color_type, config)
+    components = layout["components"]
+    scan_plan = build_scan_plan(layout, components, config)
+
+    def fn(streams, dc_sizes, dc_codes, ac_sizes, ac_codes):
+        return _pack_scans(
+            streams, scan_plan, None,
+            (dc_sizes, dc_codes, ac_sizes, ac_codes), budget,
+        )
+
+    if layout["interleaved"]:
+        block_counts = [len(layout["mcu_block_comps"]) * layout["mcu_count"]]
+    else:
+        block_counts = list(layout["comp_block_counts"])
+    seg_structure = [
+        _n_segments(block_counts[si], spec.seg_blocks)
+        for si, spec, _ in scan_plan
+    ]
+    return jax.jit(fn), scan_plan, seg_structure
+
+
+@lru_cache(maxsize=32)
+def _build_coeff_hist_fn(
+    width: int,
+    height: int,
+    color_type: ColorType,
+    config: EncoderConfig,
+):
+    """jit(pixels) -> (comp_streams, histograms) with everything staying on
+    device.  First pass of the optimized-table flow; in the sharded path the
+    histograms are additionally psum-reduced over the mesh."""
+    from ..kernels.pipeline import _build_coefficients_fn, scan_layout
+    from .device import scan_histograms
+
+    layout = scan_layout(width, height, color_type, config)
+    components = layout["components"]
+    coeff_fn, _ = _build_coefficients_fn(width, height, color_type, config, False)
+    inner = coeff_fn.raw_fn
+
+    def fn(pixels):
+        streams = inner(pixels)
+        hists = scan_histograms(streams, components, config.progressive_scans)
+        return streams, hists
+
+    return jax.jit(fn), components
+
+
+def tables_to_arrays(huffman) -> Tuple[np.ndarray, ...]:
+    """[(dc, ac) per table id] -> four (T, 256) uint32 lookup arrays."""
+    T = len(huffman)
+    dc_sizes = np.zeros((T, 256), np.uint32)
+    dc_codes = np.zeros((T, 256), np.uint32)
+    ac_sizes = np.zeros((T, 256), np.uint32)
+    ac_codes = np.zeros((T, 256), np.uint32)
+    for i, (dc, ac) in enumerate(huffman):
+        if dc is not None:
+            dc_sizes[i] = dc.sizes
+            dc_codes[i] = dc.codes
+        if ac is not None:
+            ac_sizes[i] = ac.sizes
+            ac_codes[i] = ac.codes
+    return dc_sizes, dc_codes, ac_sizes, ac_codes
+
+
+def _finish_scans(buf_np, meta_np, scan_plan, seg_structure) -> List[bytes]:
+    """Split the device buffer into stuffed, marker-interleaved scans."""
+    n_scans = len(scan_plan)
+    scan_bits = meta_np[1 : 1 + n_scans]
+    seg_bits = meta_np[1 + n_scans :]
+    scans = []
+    byte_off = 0
+    seg_off = 0
+    for i in range(n_scans):
+        nbytes = int(scan_bits[i]) >> 3
+        nseg = seg_structure[i]
+        segs = seg_bits[seg_off : seg_off + nseg] >> 3
+        seg_off += nseg
+        data = buf_np[byte_off : byte_off + nbytes].tobytes()
+        byte_off += nbytes
+        stuffed = native.stuff_segments(data, segs)
+        if stuffed is None:
+            stuffed = native.stuff_segments_py(data, segs.tolist())
+        scans.append(stuffed)
+    return scans
+
+
+def device_encode_scans(
+    pixels,
+    width: int,
+    height: int,
+    color_type: ColorType,
+    config: EncoderConfig,
+    huffman,
+    comp_streams=None,
+) -> Optional[List[bytes]]:
+    """Encode all scans on device; returns the per-scan entropy byte strings
+    (stuffed, with RST markers) in scan order, or None if the device path
+    declines (pathological overflow)."""
+    key = (width, height, color_type, config)
+    tabs = tables_to_arrays(huffman)
+
+    budgets = list(BUDGET_LADDER)
+    if key in _budget_memo:
+        budgets = [b for b in budgets if b >= _budget_memo[key]]
+
+    for budget in budgets:
+        if comp_streams is None:
+            fn, scan_plan, seg_structure = _build_fused_fn(
+                width, height, color_type, config, budget
+            )
+            buf, meta = fn(pixels, *tabs)
+        else:
+            fn, scan_plan, seg_structure = _build_pack_only_fn(
+                width, height, color_type, config, budget
+            )
+            buf, meta = fn(tuple(comp_streams), *tabs)
+
+        meta_np = np.asarray(meta)
+        if meta_np[0]:  # overflow — escalate budget
+            continue
+        _budget_memo[key] = budget
+        n_scans = len(scan_plan)
+        total_bytes = int(np.sum(meta_np[1 : 1 + n_scans]) >> 3)
+        buf_np = np.asarray(buf[:total_bytes])
+        return _finish_scans(buf_np, meta_np, scan_plan, seg_structure)
+    return None

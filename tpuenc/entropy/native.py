@@ -64,6 +64,14 @@ def _load():
         except OSError:
             _lib_failed = True
             return None
+        lib.tpuenc_stuff_segments.restype = ctypes.c_longlong
+        lib.tpuenc_stuff_segments.argtypes = [
+            ctypes.c_void_p,   # in bytes
+            ctypes.c_void_p,   # seg_lens int64*
+            ctypes.c_longlong, # n_segs
+            ctypes.c_void_p,   # out
+            ctypes.c_longlong, # out capacity
+        ]
         lib.tpuenc_encode_scan.restype = ctypes.c_longlong
         lib.tpuenc_encode_scan.argtypes = [
             ctypes.c_void_p,   # blocks int16 (B,64)
@@ -152,3 +160,39 @@ def encode_scan(
     if n < 0:
         return None
     return out[:n].tobytes()
+
+
+def stuff_segments(data: bytes, seg_lens) -> Optional[bytes]:
+    """Apply 0xFF stuffing per segment and insert RST markers between
+    segments.  ``data`` holds the concatenated byte-aligned segments.
+    Returns None when the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    seg_lens = np.ascontiguousarray(seg_lens, dtype=np.int64)
+    buf = np.frombuffer(data, dtype=np.uint8)
+    cap = 2 * len(data) + 2 * len(seg_lens) + 16
+    out = np.empty(cap, dtype=np.uint8)
+    n = lib.tpuenc_stuff_segments(
+        buf.ctypes.data_as(ctypes.c_void_p),
+        seg_lens.ctypes.data_as(ctypes.c_void_p),
+        len(seg_lens),
+        out.ctypes.data_as(ctypes.c_void_p),
+        cap,
+    )
+    if n < 0:
+        return None
+    return out[:n].tobytes()
+
+
+def stuff_segments_py(data: bytes, seg_lens) -> bytes:
+    """Pure-Python fallback for :func:`stuff_segments`."""
+    out = bytearray()
+    ip = 0
+    for s, ln in enumerate(seg_lens):
+        if s > 0:
+            out += bytes((0xFF, 0xD0 + ((s - 1) & 7)))
+        chunk = data[ip : ip + ln]
+        ip += ln
+        out += chunk.replace(b"\xff", b"\xff\x00")
+    return bytes(out)

@@ -140,7 +140,9 @@ def _build_coefficients_fn(
             results.append(sliced.reshape(*lead, rows * cols, 64))
         return tuple(results)
 
-    return jax.jit(fn), scan_layout(width, height, color_type, config)
+    jitted = jax.jit(fn)
+    jitted.raw_fn = fn  # untraced body, reused by the fused device-encode path
+    return jitted, scan_layout(width, height, color_type, config)
 
 
 def scan_layout(width: int, height: int, color_type: ColorType, config: EncoderConfig):
