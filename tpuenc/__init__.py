@@ -37,6 +37,35 @@ from .core.types import (
 
 __version__ = "0.1.0"
 
+
+def enable_persistent_cache(path=None):
+    """Enable JAX's persistent compilation cache so the fused encode
+    programs (which are large) compile once per (shape, config) across
+    processes.  Called automatically on import unless TPUENC_JAX_CACHE=0."""
+    import os
+
+    import jax
+
+    if path is None:
+        path = os.environ.get(
+            "TPUENC_JAX_CACHE_DIR",
+            os.path.join(os.path.expanduser("~"), ".cache", "tpuenc-jax"),
+        )
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
+
+
+import os as _os
+
+if _os.environ.get("TPUENC_JAX_CACHE", "1") != "0":
+    enable_persistent_cache()
+del _os
+
 __all__ = [
     "Encoder",
     "ImageBuffer",

@@ -232,6 +232,89 @@ class Encoder:
             stacked = stacked[..., 0]
         return self._finish(self._encode_pixels(stacked, width, height, ct))
 
+    def encode_batch(
+        self,
+        images,
+        width: int,
+        height: int,
+        color_type: ColorType,
+    ) -> List[bytes]:
+        """Encode a batch of same-shape images with pipelined device
+        dispatch (H2D/compute/D2H overlap across images).
+
+        ``images``: iterable of pixel buffers (bytes or arrays), each laid
+        out as for :meth:`encode`.  This is the high-throughput serving
+        path; a TPU-native extension over the reference's one-image API.
+        """
+        import os
+
+        color_type = ColorType(color_type)
+        bpp = color_type.bytes_per_pixel
+        required = width * height * bpp
+        pixel_arrays = []
+        for data in images:
+            flat = (
+                np.frombuffer(data, dtype=np.uint8)
+                if isinstance(data, (bytes, bytearray, memoryview))
+                else np.asarray(data, dtype=np.uint8).reshape(-1)
+            )
+            if flat.size < required:
+                raise errors.BadImageData(flat.size, required)
+            px = flat[:required].reshape(height, width, bpp)
+            if bpp == 1:
+                px = px[..., 0]
+            pixel_arrays.append(px)
+        if width == 0 or height == 0:
+            raise errors.ZeroImageDimensions(width, height)
+
+        config = self._config()
+        jct = color_type.jpeg_color_type
+        components = init_components(jct, config.sampling_factor)
+        q_tables = [
+            quantization_table(config.quantization[0], config.quality, luma=True),
+            quantization_table(config.quantization[1], config.quality, luma=False),
+        ]
+        huffman = [list(pair) for pair in default_tables()]
+
+        prefix = bytearray()
+        prefix += segments.marker(markers.SOI)
+        prefix += segments.app0_jfif(config.density)
+        if jct is JpegColorType.CMYK:
+            prefix += segments.app14_adobe(0)
+        elif jct is JpegColorType.YCCK:
+            prefix += segments.app14_adobe(2)
+        for nr, data in self._app_segments:
+            prefix += segments.segment(markers.APP(nr), data)
+
+        batch_scans = None
+        if os.environ.get("TPUENC_DEVICE_ENTROPY", "1") != "0":
+            try:
+                from .entropy import device_encode as de
+
+                batch_scans = de.device_encode_batch(
+                    pixel_arrays, width, height, color_type, config, huffman
+                )
+            except Exception:
+                if os.environ.get("TPUENC_DEVICE_ENTROPY") == "strict":
+                    raise
+                batch_scans = None
+
+        results = []
+        if batch_scans is not None:
+            for scans in batch_scans:
+                body = self._assemble_scans(
+                    scans, width, height, color_type, config, components,
+                    q_tables, huffman,
+                )
+                results.append(
+                    bytes(prefix) + body + segments.marker(markers.EOI)
+                )
+            return results
+
+        return [
+            self.encode(px, width, height, color_type) for px in pixel_arrays
+        ]
+
     def _finish(self, payload: bytes) -> bytes:
         if self._path is not None:
             with open(self._path, "wb") as f:

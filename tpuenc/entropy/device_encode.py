@@ -274,6 +274,31 @@ def _build_coeff_hist_fn(
     return jax.jit(fn), components
 
 
+@lru_cache(maxsize=64)
+def _slice_fn(bucket: int):
+    """Cached static-size prefix-slice program; avoids recompiling a new
+    executable for every distinct output length."""
+    return jax.jit(lambda b: jax.lax.dynamic_slice(b, (0,), (bucket,)))
+
+
+def _bucket(total: int) -> int:
+    """Round up to ~12.5% geometric steps (few distinct compile shapes,
+    bounded extra transfer)."""
+    if total <= 65536:
+        return 65536
+    granule = 1 << (max(total, 8) - 1).bit_length() - 3
+    return -(-total // granule) * granule
+
+
+def fetch_bytes(buf, total: int) -> np.ndarray:
+    """Transfer the first ``total`` bytes of a device buffer using a
+    bucketed static-shape slice."""
+    bucket = min(_bucket(total), buf.shape[0])
+    if bucket >= buf.shape[0]:
+        return np.asarray(buf)[:total]
+    return np.asarray(_slice_fn(bucket)(buf))[:total]
+
+
 def tables_to_arrays(huffman) -> Tuple[np.ndarray, ...]:
     """[(dc, ac) per table id] -> four (T, 256) uint32 lookup arrays."""
     T = len(huffman)
@@ -289,6 +314,25 @@ def tables_to_arrays(huffman) -> Tuple[np.ndarray, ...]:
             ac_sizes[i] = ac.sizes
             ac_codes[i] = ac.codes
     return dc_sizes, dc_codes, ac_sizes, ac_codes
+
+
+_device_tables_cache: dict = {}
+
+
+def tables_to_device(huffman):
+    """Device-resident table arrays, cached by table identity so repeated
+    encodes skip the per-call host->device table upload."""
+    key = tuple(
+        (id(dc), id(ac)) for dc, ac in huffman
+    )
+    hit = _device_tables_cache.get(key)
+    if hit is None:
+        arrays = tables_to_arrays(huffman)
+        hit = tuple(jax.device_put(a) for a in arrays)
+        if len(_device_tables_cache) > 64:
+            _device_tables_cache.clear()
+        _device_tables_cache[key] = hit
+    return hit
 
 
 def _finish_scans(buf_np, meta_np, scan_plan, seg_structure) -> List[bytes]:
@@ -313,6 +357,57 @@ def _finish_scans(buf_np, meta_np, scan_plan, seg_structure) -> List[bytes]:
     return scans
 
 
+def device_encode_batch(
+    images,
+    width: int,
+    height: int,
+    color_type: ColorType,
+    config: EncoderConfig,
+    huffman,
+) -> Optional[List[List[bytes]]]:
+    """Pipelined batch encode: dispatch every image's fused program before
+    fetching any result, so H2D, compute and D2H overlap across images.
+
+    Only supported for default-table (single-pass) modes; returns a list of
+    per-image scan-payload lists, or None to fall back.
+    """
+    if config.optimize_huffman_table:
+        return None
+    key = (width, height, color_type, config)
+    tabs = tables_to_device(huffman)
+    budget = _budget_memo.get(key, BUDGET_LADDER[0])
+
+    fn, scan_plan, seg_structure = _build_fused_fn(
+        width, height, color_type, config, budget
+    )
+    n_scans = len(scan_plan)
+
+    # Dispatch phase — everything async.
+    pending = [fn(img, *tabs) for img in images]
+
+    out: List[Optional[List[bytes]]] = []
+    retry: List[int] = []
+    for i, (buf, meta) in enumerate(pending):
+        meta_np = np.asarray(meta)
+        if meta_np[0]:
+            out.append(None)
+            retry.append(i)
+            continue
+        total = int(np.sum(meta_np[1 : 1 + n_scans]) >> 3)
+        buf_np = fetch_bytes(buf, total)
+        out.append(_finish_scans(buf_np, meta_np, scan_plan, seg_structure))
+    _budget_memo.setdefault(key, budget)
+
+    for i in retry:
+        scans = device_encode_scans(
+            images[i], width, height, color_type, config, huffman
+        )
+        if scans is None:
+            return None
+        out[i] = scans
+    return out  # type: ignore[return-value]
+
+
 def device_encode_scans(
     pixels,
     width: int,
@@ -326,7 +421,7 @@ def device_encode_scans(
     (stuffed, with RST markers) in scan order, or None if the device path
     declines (pathological overflow)."""
     key = (width, height, color_type, config)
-    tabs = tables_to_arrays(huffman)
+    tabs = tables_to_device(huffman)
 
     budgets = list(BUDGET_LADDER)
     if key in _budget_memo:
@@ -350,6 +445,6 @@ def device_encode_scans(
         _budget_memo[key] = budget
         n_scans = len(scan_plan)
         total_bytes = int(np.sum(meta_np[1 : 1 + n_scans]) >> 3)
-        buf_np = np.asarray(buf[:total_bytes])
+        buf_np = fetch_bytes(buf, total_bytes)
         return _finish_scans(buf_np, meta_np, scan_plan, seg_structure)
     return None

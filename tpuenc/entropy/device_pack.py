@@ -111,12 +111,23 @@ def merge_level(lens, words, cap_out: int):
     MSB-aligned bitstrings.  Returns ((..., N//2), (..., N//2, cap_out),
     overflow) where overflow flags any chunk whose merged length exceeds
     32*cap_out.
+
+    TPU note: the variable word-offset shift is a *barrel shifter* —
+    ceil(log2(C+1)) conditional static shifts — because per-lane gathers
+    (take_along_axis) lower catastrophically on TPU while elementwise
+    selects are effectively free.  Pairing is done by an even/odd reshape
+    rather than strided slicing for the same reason.
     """
-    a_len = lens[..., 0::2]
-    b_len = lens[..., 1::2]
-    A = words[..., 0::2, :]
-    B = words[..., 1::2, :]
     C = words.shape[-1]
+    N = words.shape[-2]
+    lead = words.shape[:-2]
+
+    lens2 = lens.reshape(*lead, N // 2, 2)
+    a_len = lens2[..., 0]
+    b_len = lens2[..., 1]
+    w2 = words.reshape(*lead, N // 2, 2, C)
+    A = w2[..., 0, :]
+    B = w2[..., 1, :]
     out_len = a_len + b_len
 
     # Pad to output capacity.
@@ -137,17 +148,32 @@ def merge_level(lens, words, cap_out: int):
     lo = jnp.where(bit_off == 0, jnp.uint32(0), lo)
     B_bits = hi | lo
 
-    # Word-granular shift via gather along the word axis.
-    idx = jnp.arange(cap_out, dtype=jnp.int32) - word_off
-    valid = idx >= 0
-    gathered = jnp.take_along_axis(
-        B_bits, jnp.clip(idx, 0, cap_out - 1), axis=-1
-    )
-    B_shifted = jnp.where(valid, gathered, jnp.uint32(0))
+    # Word-granular barrel shift: word_off <= C (since len(A) <= 32*C).
+    k = 1
+    while k <= C:
+        mask = (word_off & k) != 0
+        shifted = jnp.concatenate(
+            [jnp.zeros_like(B_bits[..., :k]), B_bits[..., :-k]], axis=-1
+        )
+        B_bits = jnp.where(mask, shifted, B_bits)
+        k <<= 1
 
-    merged = A_ext | B_shifted
+    merged = A_ext | B_bits
     overflow = jnp.any(out_len > 32 * cap_out)
     return out_len, merged, overflow
+
+
+def mxu_lookup(table, idx, n: int):
+    """Table lookup as a one-hot f32 matmul on the MXU.
+
+    Per-lane gathers lower poorly on TPU; a one-hot times table-vector
+    contraction is ~3x faster at these sizes.  ``table``: (n,) uint32 with
+    values < 2^24 (exact in f32); ``idx``: int32 array of any shape.
+    """
+    flat = idx.reshape(-1)
+    oh = jax.nn.one_hot(flat, n, dtype=jnp.float32)
+    vals = oh @ table.astype(jnp.float32)
+    return vals.astype(jnp.int32).reshape(idx.shape)
 
 
 def block_cap_schedule(budget_words: int):
@@ -207,11 +233,24 @@ def scan_pack(
     q = blocks.astype(jnp.int32)
     ss, se = spec.spectral_start, spec.spectral_end
 
+    # Pattern-position lookups as where-chains (per-lane gathers are slow
+    # on TPU; the pattern is tiny and static).
     pat = len(spec.dc_tab_pattern)
     bidx = jnp.arange(B, dtype=jnp.int32)
     pos_in_pat = bidx % pat
-    dc_tab = jnp.asarray(np.asarray(spec.dc_tab_pattern, np.int32))[pos_in_pat]
-    ac_tab = jnp.asarray(np.asarray(spec.ac_tab_pattern, np.int32))[pos_in_pat]
+
+    def pattern_select(pattern):
+        out = jnp.full((B,), int(pattern[0]), dtype=jnp.int32)
+        for p in range(1, pat):
+            out = jnp.where(pos_in_pat == p, int(pattern[p]), out)
+        return out
+
+    dc_tab = pattern_select(spec.dc_tab_pattern)
+    ac_tab = pattern_select(spec.ac_tab_pattern)
+
+    # Packed (size << 16 | code) tables: one lookup instead of two.
+    dc_packed = (dc_sizes.astype(U32) << 16) | dc_codes.astype(U32)
+    ac_packed = (ac_sizes.astype(U32) << 16) | ac_codes.astype(U32)
 
     seg = spec.seg_blocks if spec.seg_blocks > 0 else B
     n_seg = -(-B // seg)
@@ -224,15 +263,24 @@ def scan_pack(
 
     if spec.emit_dc:
         dc = q[:, 0]
-        delta = jnp.asarray(np.asarray(spec.dc_prev_delta, np.int32))[pos_in_pat]
-        prev_idx = bidx - delta
+        # Previous same-component DC via static rolls selected by pattern
+        # position (the distinct delta set is tiny).
+        delta = pattern_select(spec.dc_prev_delta)
+        prev = jnp.zeros((B,), dtype=jnp.int32)
+        for d in sorted(set(spec.dc_prev_delta)):
+            rolled = jnp.roll(dc, d)
+            prev = jnp.where(delta == d, rolled, prev)
         in_seg = (bidx % seg) >= delta
-        prev = jnp.where(in_seg, dc[jnp.clip(prev_idx, 0, B - 1)], 0)
+        prev = jnp.where(in_seg, prev, 0)
         diff = dc - prev
         size = bit_length_i32(diff)
         extra = (diff - (diff < 0).astype(jnp.int32)).astype(U32) & _mask(size)
-        hs = dc_sizes[dc_tab, size].astype(jnp.int32)
-        hc = dc_codes[dc_tab, size].astype(U32)
+        dc_lut = mxu_lookup(
+            dc_packed.reshape(-1), dc_tab * 256 + size,
+            dc_packed.size,
+        ).astype(U32)
+        hs = (dc_lut >> 16).astype(jnp.int32)
+        hc = dc_lut & 0xFFFF
         bits = _shl(hc, size) | extra
         blen = hs + size
         dc_reg = reg96_append(reg96_empty((B,)), bits, blen)
@@ -261,10 +309,23 @@ def scan_pack(
         zrl_count = jnp.where(nz, run >> 4, 0)
 
         at = ac_tab[:, None]
-        sym_hs = ac_sizes[at, sym].astype(jnp.int32)
-        sym_hc = ac_codes[at, sym].astype(U32)
-        zrl_hs = ac_sizes[at, 0xF0].astype(jnp.int32)
-        zrl_hc = ac_codes[at, 0xF0].astype(U32)
+        sym_lut = mxu_lookup(
+            ac_packed.reshape(-1), at * 256 + sym, ac_packed.size
+        ).astype(U32)
+        sym_hs = (sym_lut >> 16).astype(jnp.int32)
+        sym_hc = sym_lut & 0xFFFF
+        # ZRL codes: table index varies only through `at` — select between
+        # the (static) per-table scalars, no gather.
+        zrl_hs = jnp.where(
+            at == 0,
+            ac_sizes[0, 0xF0].astype(jnp.int32),
+            ac_sizes[1 % ac_sizes.shape[0], 0xF0].astype(jnp.int32),
+        )
+        zrl_hc = jnp.where(
+            at == 0,
+            ac_codes[0, 0xF0].astype(U32),
+            ac_codes[1 % ac_codes.shape[0], 0xF0].astype(U32),
+        )
 
         reg = reg96_empty((B, L))
         for t in range(3):  # up to 3 ZRL codes per item (run <= 62)
@@ -289,22 +350,33 @@ def scan_pack(
     # ------------------------------------------------------------------
     # Tail item: EOB code + segment byte padding (1-bits).
     # ------------------------------------------------------------------
-    eob_hs = jnp.where(
-        eob_flag, ac_sizes[ac_tab, 0x00].astype(jnp.int32), 0
+    eob_hs_tab = jnp.where(
+        ac_tab == 0,
+        ac_sizes[0, 0x00].astype(jnp.int32),
+        ac_sizes[1 % ac_sizes.shape[0], 0x00].astype(jnp.int32),
     )
-    eob_hc = jnp.where(eob_flag, ac_codes[ac_tab, 0x00].astype(U32), 0)
+    eob_hc_tab = jnp.where(
+        ac_tab == 0,
+        ac_codes[0, 0x00].astype(U32),
+        ac_codes[1 % ac_codes.shape[0], 0x00].astype(U32),
+    )
+    eob_hs = jnp.where(eob_flag, eob_hs_tab, 0)
+    eob_hc = jnp.where(eob_flag, eob_hc_tab, 0)
 
     body_bits = jnp.sum(slot_lens, axis=1) + eob_hs  # per-block total
-    # Segment sums (pad B to a segment multiple host-side guarantee: B is
-    # padded by caller so B % seg == 0 or there is a single ragged tail;
-    # handle ragged tail by scattering into n_seg bins).
+    # Segment sums via padded reshape (scatter-free).
     seg_id = bidx // seg
-    seg_bits_body = jnp.zeros((n_seg,), jnp.int32).at[seg_id].add(body_bits)
+    padded = jnp.pad(body_bits, (0, n_seg * seg - B))
+    seg_bits_body = padded.reshape(n_seg, seg).sum(axis=1)
     pad_len_seg = (-seg_bits_body) & 7
     seg_bits = seg_bits_body + pad_len_seg
 
     is_seg_last = (bidx % seg == seg - 1) | (bidx == B - 1)
-    pad_len = jnp.where(is_seg_last, pad_len_seg[seg_id], 0)
+    # Broadcast each segment's pad to its blocks without a gather.
+    pad_per_block = jnp.broadcast_to(
+        pad_len_seg[:, None], (n_seg, seg)
+    ).reshape(-1)[:B]
+    pad_len = jnp.where(is_seg_last, pad_per_block, 0)
 
     tail_len = eob_hs + pad_len
     tail_bits = _shl(eob_hc, pad_len) | _mask(pad_len)
