@@ -1,0 +1,76 @@
+"""End-to-end mesh-sharded encode must be byte-identical to the
+single-device encoder for every mode (virtual 8-device CPU mesh)."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from tpuenc import ColorType, Encoder, SamplingFactor
+from tpuenc.shard.encode import ShardedEncoder, sharded_encode
+from tpuenc.shard.mesh import make_mesh
+
+needs_devices = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def _img(w, h, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+
+@needs_devices
+@pytest.mark.parametrize(
+    "setup",
+    [
+        lambda e: None,
+        lambda e: e.set_restart_interval(5),
+        lambda e: e.set_progressive(True),
+        lambda e: e.set_optimized_huffman_tables(True),
+        lambda e: e.set_sampling_factor(SamplingFactor.F_1_1),
+    ],
+)
+def test_sharded_matches_single(setup):
+    mesh = make_mesh(8, batch=1)
+    w, h = 48, 16 * 8 * 2  # MCU-aligned, 2 MCU rows per stripe at 2x2
+    img = _img(w, h)
+
+    enc = ShardedEncoder(80, mesh)
+    setup(enc)
+    sharded = enc.encode(img, w, h, ColorType.RGB)
+
+    ref = Encoder(80)
+    setup(ref)
+    single = ref.encode(img, w, h, ColorType.RGB)
+    assert sharded == single
+
+
+@needs_devices
+def test_sharded_uneven_stripes():
+    # num_rows not divisible by n_stripes: padding MCU rows must be trimmed.
+    mesh = make_mesh(8, batch=1)
+    w, h = 32, 16 * 11  # 11 MCU rows over 8 stripes
+    img = _img(w, h, seed=3)
+    out = sharded_encode(img, w, h, ColorType.RGB, mesh, quality=85)
+    single = Encoder(85).encode(img, w, h, ColorType.RGB)
+    assert out == single
+
+
+@needs_devices
+def test_sharded_batch_axis():
+    mesh = make_mesh(8, batch=2)
+    w, h = 32, 16 * 4
+    imgs = [_img(w, h, seed=i) for i in range(4)]
+    enc = ShardedEncoder(75, mesh)
+    outs = enc.encode_batch_sharded(imgs, w, h, ColorType.RGB)
+    for im, out in zip(imgs, outs):
+        assert out == Encoder(75).encode(im, w, h, ColorType.RGB)
+
+
+@needs_devices
+def test_sharded_rejects_unaligned():
+    mesh = make_mesh(8, batch=1)
+    img = _img(30, 130)
+    with pytest.raises(ValueError):
+        sharded_encode(img, 30, 130, ColorType.RGB, mesh)

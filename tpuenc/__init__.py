@@ -32,8 +32,10 @@ from .core.types import (
     JpegColorType,
     PixelDensity,
     PixelDensityUnit,
+    QuantizationTableType,
     SamplingFactor,
 )
+from .kernels.fdct import fdct_blocks  # benchmark surface (lib.rs:51-52)
 
 __version__ = "0.1.0"
 
@@ -81,8 +83,10 @@ __all__ = [
     "BadImageData",
     "ZeroImageDimensions",
     "WriteError",
+    "QuantizationTableType",
     "QUANT_PRESET_NAMES",
     "ZIGZAG",
+    "fdct_blocks",
     "rgb_to_ycbcr",
     "cmyk_to_ycck",
 ]

@@ -76,7 +76,8 @@ class Encoder:
     the result to a path like the reference's ``Encoder::new_file``.
     """
 
-    def __init__(self, quality: int, _path: Optional[str] = None):
+    def __init__(self, quality: int, _path: Optional[str] = None,
+                 _writer=None):
         self.quality = int(quality)
         self._sampling_factor = (
             SamplingFactor.F_2_2 if self.quality < 90 else SamplingFactor.F_1_1
@@ -88,11 +89,19 @@ class Encoder:
         self._optimize_huffman_table = False
         self._app_segments: List[Tuple[int, bytes]] = []
         self._path = _path
+        self._writer = _writer
 
     @classmethod
     def new_file(cls, path, quality: int) -> "Encoder":
         """Encoder writing to a file (reference encoder.rs:1203-1220)."""
         return cls(quality, _path=str(path))
+
+    @classmethod
+    def new_writer(cls, writer, quality: int) -> "Encoder":
+        """Encoder writing into any object with a ``write(bytes)`` method —
+        the analog of the reference's ``JfifWrite`` sink abstraction
+        (writer.rs:76-106)."""
+        return cls(quality, _writer=writer)
 
     # ------------------------------------------------------------------
     # Setters (reference encoder.rs:277-435)
@@ -319,6 +328,8 @@ class Encoder:
         if self._path is not None:
             with open(self._path, "wb") as f:
                 f.write(payload)
+        if self._writer is not None:
+            self._writer.write(payload)
         return payload
 
     def _encode_pixels(

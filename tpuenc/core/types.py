@@ -139,6 +139,32 @@ class SamplingFactor(enum.Enum):
         return h in (1, 2) and v in (1, 2)
 
 
+class QuantizationTableType:
+    """Named quantization-table presets (reference quantization.rs:8-40).
+
+    Each constant is the preset key accepted by
+    ``Encoder.set_quantization_tables``; ``Custom(values)`` wraps a user
+    table of 64 entries (clamped to 1..2048 like the reference).
+    """
+
+    Default = "default"
+    Flat = "flat"
+    CustomMsSsim = "custom_ms_ssim"
+    CustomPsnrHvs = "custom_psnr_hvs"
+    ImageMagick = "image_magick"
+    KleinSilversteinCarney = "klein_silverstein_carney"
+    DentalXRays = "dental_x_rays"
+    VisualDetectionModel = "visual_detection_model"
+    ImprovedDetectionModel = "improved_detection_model"
+
+    @staticmethod
+    def Custom(values) -> Tuple[int, ...]:
+        values = tuple(int(v) for v in values)
+        if len(values) != 64:
+            raise ValueError("custom quantization table must have 64 entries")
+        return values
+
+
 class PixelDensityUnit(enum.Enum):
     """Reference writer.rs:48-59."""
 

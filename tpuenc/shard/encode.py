@@ -1,0 +1,210 @@
+"""Mesh-sharded end-to-end encode.
+
+Combines the MCU-row-stripe coefficient pipeline (``shard.stripes``) with
+the entropy/assembly layers to produce complete JFIF files from a
+multi-device mesh — the multi-host scaling surface the reference (strictly
+single-process, SURVEY §2) never had:
+
+* pixels are striped over the ``stripe`` axis and data-paralleled over
+  ``batch``;
+* each device computes its stripe's quantized blocks (and, for optimized
+  tables, its psum-contribution to the Huffman histograms);
+* only coefficient blocks (or on a real pod: per-segment bitstreams and
+  lengths) leave the device; entropy packing + JFIF assembly run on host.
+
+On a real pod slice each host would fetch only its addressable shards and
+the byte concatenation would ride ``jax.experimental.multihost_utils``;
+on one host this path is exercised end-to-end on a virtual device mesh.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+from jax.sharding import Mesh
+
+from ..api import Encoder
+from ..core.types import ColorType
+from .stripes import pad_for_stripes, stripe_encode_step, stripe_geometry
+
+
+class ShardedEncoder(Encoder):
+    """Encoder whose pixels->coefficients stage runs striped over a mesh.
+
+    Same configuration surface as :class:`tpuenc.Encoder`; ``encode``
+    accepts a (H, W, C) image (or (B, H, W, C) batch via
+    :meth:`encode_batch_sharded`).
+    """
+
+    def __init__(self, quality: int, mesh: Mesh):
+        super().__init__(quality)
+        self._mesh = mesh
+
+    def encode(self, data, width, height, color_type: ColorType) -> bytes:
+        return self.encode_batch_sharded(
+            [data], width, height, color_type
+        )[0]
+
+    def encode_batch_sharded(
+        self, images, width: int, height: int, color_type: ColorType
+    ) -> List[bytes]:
+        from ..core import errors
+        from ..core.tables import default_tables, quantization_table
+        from ..core.types import JpegColorType, init_components
+        from ..entropy.huffopt import optimize_tables
+        from ..jfif import markers, segments
+
+        color_type = ColorType(color_type)
+        if width == 0 or height == 0:
+            raise errors.ZeroImageDimensions(width, height)
+        bpp = color_type.bytes_per_pixel
+        required = width * height * bpp
+
+        batch = []
+        for data in images:
+            flat = (
+                np.frombuffer(data, dtype=np.uint8)
+                if isinstance(data, (bytes, bytearray, memoryview))
+                else np.asarray(data, dtype=np.uint8).reshape(-1)
+            )
+            if flat.size < required:
+                raise errors.BadImageData(flat.size, required)
+            px = flat[:required].reshape(height, width, bpp)
+            if bpp == 1:
+                px = px[..., 0]
+            batch.append(px)
+        pixels = np.stack(batch)
+
+        config = self._config()
+        n_b = self._mesh.shape["batch"]
+        if pixels.shape[0] % n_b != 0:
+            raise ValueError(
+                f"batch {pixels.shape[0]} not divisible by mesh batch axis {n_b}"
+            )
+
+        fn, geo = stripe_encode_step(
+            width, height, color_type, config, self._mesh,
+            with_histograms=False,
+        )
+        padded = pad_for_stripes(pixels, geo)
+        streams = fn(padded)
+
+        # The striped path requires component block grids to coincide with
+        # the stripe grids, i.e. width/height multiples of the MCU size
+        # (otherwise the single-device path applies).
+        jct = color_type.jpeg_color_type
+        components = init_components(jct, config.sampling_factor)
+        max_h = geo["max_h"]
+        max_v = geo["max_v"]
+        if width % (8 * max_h) or height % (8 * max_v):
+            raise ValueError(
+                "sharded encode requires MCU-aligned dimensions "
+                f"(multiples of {8*max_h}x{8*max_v}); got {width}x{height}"
+            )
+        q_tables = [
+            quantization_table(config.quantization[0], config.quality, True),
+            quantization_table(config.quantization[1], config.quality, False),
+        ]
+
+        # Trim blocks contributed by stripe-alignment padding MCU rows
+        # (always at the stream tail).
+        from ..kernels.pipeline import scan_layout
+
+        layout = scan_layout(width, height, color_type, config)
+        if layout["interleaved"]:
+            real_counts = [
+                layout["mcu_count"] * len(layout["mcu_block_comps"])
+            ]
+        else:
+            real_counts = list(layout["comp_block_counts"])
+
+        results = []
+        np_streams = [np.asarray(s) for s in streams]
+        for i in range(pixels.shape[0]):
+            comp_blocks = [
+                s[i][:n] for s, n in zip(np_streams, real_counts)
+            ]
+            huffman = [list(pair) for pair in default_tables()]
+            if config.optimize_huffman_table and config.mode() != "interleaved":
+                optimized = optimize_tables(
+                    comp_blocks, components, config.progressive_scans
+                )
+                for t, pair in enumerate(optimized):
+                    huffman[t] = list(pair)
+
+            out = bytearray()
+            out += segments.marker(markers.SOI)
+            out += segments.app0_jfif(config.density)
+            if jct is JpegColorType.CMYK:
+                out += segments.app14_adobe(0)
+            elif jct is JpegColorType.YCCK:
+                out += segments.app14_adobe(2)
+            for nr, data in self._app_segments:
+                out += segments.segment(markers.APP(nr), data)
+
+            scans = self._host_scans_from_streams(
+                comp_blocks, width, height, color_type, config, components,
+                huffman,
+            )
+            out += self._assemble_scans(
+                scans, width, height, color_type, config, components,
+                q_tables, huffman,
+            )
+            out += segments.marker(markers.EOI)
+            results.append(bytes(out))
+        return results
+
+    def _host_scans_from_streams(
+        self, comp_blocks, width, height, color_type, config, components,
+        huffman,
+    ):
+        from ..entropy.device_encode import build_scan_plan
+        from ..kernels.pipeline import scan_layout
+
+        from .. import api as _api
+
+        layout = scan_layout(width, height, color_type, config)
+        plan = build_scan_plan(layout, components, config)
+        scans = []
+        for stream_idx, spec, _ in plan:
+            blocks = comp_blocks[stream_idx]
+            if layout["interleaved"]:
+                comp_ids = np.tile(
+                    np.asarray(layout["mcu_block_comps"], np.int32),
+                    layout["mcu_count"],
+                )
+                dc_tabs = [huffman[c.dc_huffman_table][0] for c in components]
+                ac_tabs = [huffman[c.ac_huffman_table][1] for c in components]
+            else:
+                comp_ids = None
+                comp = components[stream_idx]
+                dc_tabs = [huffman[comp.dc_huffman_table][0]]
+                ac_tabs = [huffman[comp.ac_huffman_table][1]]
+            scans.append(
+                _api._pack_scan(
+                    blocks, comp_ids, dc_tabs, ac_tabs,
+                    restart_interval_blocks=spec.seg_blocks,
+                    spectral_start=spec.spectral_start,
+                    spectral_end=spec.spectral_end,
+                    emit_dc=spec.emit_dc,
+                    emit_ac=spec.emit_ac,
+                )
+            )
+        return scans
+
+
+def sharded_encode(
+    image,
+    width: int,
+    height: int,
+    color_type: ColorType,
+    mesh: Mesh,
+    quality: int = 90,
+    configure=None,
+) -> bytes:
+    """One-shot striped encode of a single image over ``mesh``."""
+    enc = ShardedEncoder(quality, mesh)
+    if configure is not None:
+        configure(enc)
+    return enc.encode(image, width, height, color_type)
