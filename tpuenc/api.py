@@ -392,6 +392,10 @@ class Encoder:
                     plan_len = ncomp + (config.progressive_scans - 1) * ncomp
             if plan_len > 48:
                 return None  # giant progressive scan counts: host path
+            # Very large block counts would blow the packing tree's
+            # intermediate memory (~1KB/block); stay on the host path.
+            if (width // 8 + 1) * (height // 8 + 1) > 3_000_000:
+                return None
 
             if config.optimize_huffman_table:
                 fn, comps = de._build_coeff_hist_fn(
