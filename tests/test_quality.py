@@ -57,9 +57,14 @@ def test_quality_monotone_size():
 
 
 def test_psnr_reasonable():
-    img = _img()
-    # Thresholds calibrated for the noisy synthetic content (+-25 noise).
-    for quality, min_psnr in ((50, 24.0), (80, 28.0), (95, 33.0)):
+    # Smooth gradient content (noise with 4:2:0 chroma subsampling would
+    # dominate the error and test the content, not the encoder).
+    w, h = 160, 120
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [xx * 255 // w, yy * 255 // h, (xx + yy) * 255 // (w + h)], axis=2
+    ).astype(np.uint8)
+    for quality, min_psnr in ((50, 32.0), (80, 36.0), (95, 40.0)):
         out = Encoder(quality).encode(img, 160, 120, ColorType.RGB)
         dec = np.asarray(Image.open(io.BytesIO(out)).convert("RGB"))
         psnr = _psnr(dec, img)
