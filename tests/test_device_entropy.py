@@ -174,3 +174,34 @@ def test_full_encode_device_matches_host(name, quality, setup):
         else:
             os.environ["TPUENC_DEVICE_ENTROPY"] = old
     assert host == dev, name
+
+
+@pytest.mark.parametrize(
+    "ct",
+    [
+        ColorType.LUMA,
+        ColorType.YCBCR,
+        ColorType.CMYK,
+        ColorType.CMYK_AS_YCCK,
+        ColorType.YCCK,
+        ColorType.BGRA,
+    ],
+)
+def test_full_encode_device_matches_host_color_types(ct):
+    w, h = 66, 34
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, (h, w, ct.bytes_per_pixel), dtype=np.uint8)
+    if ct is ColorType.LUMA:
+        px = px[..., 0]
+    old = os.environ.get("TPUENC_DEVICE_ENTROPY")
+    try:
+        os.environ["TPUENC_DEVICE_ENTROPY"] = "0"
+        host = Encoder(85).encode(px.tobytes(), w, h, ct)
+        os.environ["TPUENC_DEVICE_ENTROPY"] = "strict"
+        dev = Encoder(85).encode(px.tobytes(), w, h, ct)
+    finally:
+        if old is None:
+            os.environ.pop("TPUENC_DEVICE_ENTROPY", None)
+        else:
+            os.environ["TPUENC_DEVICE_ENTROPY"] = old
+    assert host == dev, ct

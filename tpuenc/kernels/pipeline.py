@@ -97,11 +97,12 @@ def _build_coefficients_fn(
         quantization_table(config.quantization[1], config.quality, luma=False),
     ]
 
+    import os
+
+    use_pallas = os.environ.get("TPUENC_PALLAS_FDCT", "0") == "1"
+
     def fn(pixels):
-        if color_type is ColorType.LUMA and pixels.ndim == (3 if batched else 2):
-            px = pixels
-        else:
-            px = pixels
+        px = pixels
         planes = to_planes(px, color_type)
         out = []
         for comp in components:
@@ -109,9 +110,17 @@ def _build_coefficients_fn(
             v_scale = max_v // comp.vertical_sampling_factor
             plane = _pad_edge(planes[comp.id], pad_h, pad_w)
             blocks = _component_blocks(plane, v_scale, h_scale)
-            dct = fdct_blocks(blocks)
-            flat = dct.reshape(*dct.shape[:-2], 64)
-            qz = quantize_zigzag(flat, q_tables[comp.quantization_table])
+            if use_pallas:
+                from .pallas_fdct import fdct_quantize_pallas
+
+                flat = blocks.reshape(*blocks.shape[:-2], 64)
+                qz = fdct_quantize_pallas(
+                    flat, q_tables[comp.quantization_table]
+                )
+            else:
+                dct = fdct_blocks(blocks)
+                flat = dct.reshape(*dct.shape[:-2], 64)
+                qz = quantize_zigzag(flat, q_tables[comp.quantization_table])
             out.append(qz)  # (..., R, C, 64) int16
 
         if interleaved:
