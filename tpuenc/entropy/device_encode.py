@@ -382,8 +382,10 @@ def device_encode_batch(
     )
     n_scans = len(scan_plan)
 
-    # Dispatch phase — everything async.
-    pending = [fn(img, *tabs) for img in images]
+    # Dispatch phase — queue all uploads first (async), then all programs,
+    # so H2D, compute and D2H overlap across images.
+    device_images = [jax.device_put(img) for img in images]
+    pending = [fn(img, *tabs) for img in device_images]
 
     out: List[Optional[List[bytes]]] = []
     retry: List[int] = []
