@@ -23,18 +23,16 @@ host entropy assembly drops blocks from padding MCU rows.
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
-from typing import Tuple
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core.tables import quantization_table
 from ..core.types import ColorType, EncoderConfig, init_components, max_sampling
-from ..entropy.device import scan_histograms
 from ..kernels.color_convert import to_planes
 from ..kernels.fdct import fdct_blocks
 from ..kernels.pipeline import _blockify, _cdiv
