@@ -46,6 +46,112 @@ class ShardedEncoder(Encoder):
             [data], width, height, color_type
         )[0]
 
+    def encode_batch_packed(
+        self, images, width: int, height: int, color_type: ColorType
+    ) -> Optional[List[bytes]]:
+        """Fully sharded encode: every stripe packs its own bitstream on
+        its device; the host only stuffs and concatenates byte-aligned
+        restart segments with globally-numbered RST markers.
+
+        Requires interleaved mode with a restart interval dividing each
+        stripe's MCU count and stripe-exact geometry (MCU-aligned
+        dimensions, MCU rows divisible by the stripe count).  Returns None
+        when those conditions don't hold so the caller can fall back.
+        """
+        from ..core.tables import default_tables, quantization_table
+        from ..core.types import JpegColorType, init_components
+        from ..entropy import native
+        from ..entropy.device_encode import tables_to_device
+        from ..jfif import markers, segments
+        from .stripes import _build_stripe_pack_fn
+
+        color_type = ColorType(color_type)
+        config = self._config()
+        if config.mode() != "interleaved" or not config.restart_interval:
+            return None
+
+        n_b = self._mesh.shape["batch"]
+        n_s = self._mesh.shape["stripe"]
+        geo = stripe_geometry(width, height, color_type, config, n_s)
+        if (
+            width % (8 * geo["max_h"])
+            or height % (8 * geo["max_v"])
+            or geo["num_rows"] % n_s
+        ):
+            return None
+        mcus_local = geo["rows_per_stripe"] * geo["num_cols"]
+        if mcus_local % config.restart_interval:
+            return None
+
+        pixels = np.stack(
+            [np.asarray(im, dtype=np.uint8).reshape(height, width, -1)
+             for im in images]
+        )
+        if pixels.shape[0] != n_b:
+            return None  # local batch must be exactly the batch axis
+
+        jct = color_type.jpeg_color_type
+        components = init_components(jct, config.sampling_factor)
+        q_tables = [
+            quantization_table(config.quantization[0], config.quality, True),
+            quantization_table(config.quantization[1], config.quality, False),
+        ]
+        huffman = [list(pair) for pair in default_tables()]
+        tabs = tables_to_device(huffman)
+
+        fn, geo, spec = _build_stripe_pack_fn(
+            width, height, color_type, config, self._mesh, 48
+        )
+        padded = pad_for_stripes(pixels, geo)
+        data, meta = fn(padded, *tabs)
+        meta_np = np.asarray(meta)
+        if meta_np[..., 0].any():
+            return None  # budget overflow: fall back
+        data_np = np.asarray(data)
+
+        n_seg_local = mcus_local // config.restart_interval
+        results = []
+        for b in range(n_b):
+            payload = bytearray()
+            global_seg = 0
+            for s in range(n_s):
+                bits = int(meta_np[b, s, 1])
+                seg_bits = meta_np[b, s, 2 : 2 + n_seg_local]
+                raw = data_np[b, s, : bits >> 3].tobytes()
+                off = 0
+                for sb in seg_bits:
+                    nbytes = int(sb) >> 3
+                    seg = raw[off : off + nbytes]
+                    off += nbytes
+                    if global_seg > 0:
+                        payload += bytes(
+                            (0xFF, 0xD0 + ((global_seg - 1) & 7))
+                        )
+                    stuffed = native.stuff_segments(seg, [nbytes])
+                    if stuffed is None:
+                        stuffed = native.stuff_segments_py(seg, [nbytes])
+                    payload += stuffed
+                    global_seg += 1
+
+            out = bytearray()
+            out += segments.marker(markers.SOI)
+            out += segments.app0_jfif(config.density)
+            if jct is JpegColorType.CMYK:
+                out += segments.app14_adobe(0)
+            elif jct is JpegColorType.YCCK:
+                out += segments.app14_adobe(2)
+            for nr, d in self._app_segments:
+                out += segments.segment(markers.APP(nr), d)
+            out += self._frame_header(
+                width, height, components, q_tables, huffman, config,
+                len(components),
+            )
+            out += segments.sos(list(components))
+            out += payload
+            out += segments.marker(markers.EOI)
+            results.append(bytes(out))
+        return results
+
     def encode_batch_sharded(
         self, images, width: int, height: int, color_type: ColorType
     ) -> List[bytes]:

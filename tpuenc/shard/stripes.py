@@ -216,3 +216,99 @@ def stripe_encode_step(
     return _build_stripe_fn(
         width, height, ColorType(color_type), config, mesh, with_histograms
     )
+
+
+@lru_cache(maxsize=16)
+def _build_stripe_pack_fn(
+    width: int,
+    height: int,
+    color_type: ColorType,
+    config: EncoderConfig,
+    mesh: Mesh,
+    budget: int,
+):
+    """Fully sharded interleaved encode: each stripe packs its own MCU rows
+    into a byte-aligned bitstream **on its device** — the SURVEY §2 design
+    where restart segments are the parallelism seam and only per-segment
+    byte lengths leave the devices.
+
+    Requires interleaved mode with a restart interval that divides each
+    stripe's MCU count, so stripe boundaries coincide with (byte-aligned,
+    DC-reset) restart boundaries and host assembly is pure concatenation
+    with RST markers.  Returns (jit_fn, geo, scan_spec): the function maps
+    (B, pad_h, pad_w, C) pixels to per-stripe (bytes, meta) arrays sharded
+    over the mesh.
+    """
+    from ..entropy.device_encode import build_scan_plan
+    from ..entropy.device_pack import scan_pack, words_to_bytes
+    from ..kernels.pipeline import scan_layout
+
+    n_stripes = mesh.shape["stripe"]
+    geo = stripe_geometry(width, height, color_type, config, n_stripes)
+    components = geo["components"]
+    max_h, max_v = geo["max_h"], geo["max_v"]
+    num_cols = geo["num_cols"]
+    rows_local = geo["rows_per_stripe"]
+    assert config.mode() == "interleaved", "sharded pack is interleaved-only"
+    assert config.restart_interval, "sharded pack needs a restart interval"
+
+    layout = scan_layout(width, height, color_type, config)
+    plan = build_scan_plan(layout, components, config)
+    (_, spec, _), = plan
+    bpm = len(layout["mcu_block_comps"])
+    mcus_local = rows_local * num_cols
+    assert mcus_local % config.restart_interval == 0, (
+        f"restart interval {config.restart_interval} must divide the "
+        f"stripe MCU count {mcus_local}"
+    )
+
+    q_tables = [
+        quantization_table(config.quantization[0], config.quality, luma=True),
+        quantization_table(config.quantization[1], config.quality, luma=False),
+    ]
+
+    def local_fn(px, dc_sizes, dc_codes, ac_sizes, ac_codes):
+        planes = to_planes(px, color_type)
+        streams = []
+        for comp in components:
+            h_scale = max_h // comp.horizontal_sampling_factor
+            v_scale = max_v // comp.vertical_sampling_factor
+            sub = planes[comp.id][..., ::v_scale, ::h_scale] - 128
+            blocks = _blockify(sub)
+            from ..kernels.fdct import fdct_blocks as _fdct
+
+            dct = _fdct(blocks)
+            qz = quantize_zigzag(
+                dct.reshape(*dct.shape[:-2], 64),
+                q_tables[comp.quantization_table],
+            )
+            cv = comp.vertical_sampling_factor
+            ch = comp.horizontal_sampling_factor
+            lead = qz.shape[:-3]
+            x = qz.reshape(*lead, rows_local, cv, num_cols, ch, 64)
+            x = jnp.moveaxis(x, -4, -3)
+            streams.append(x.reshape(*lead, rows_local * num_cols, cv * ch, 64))
+        mcu = jnp.concatenate(streams, axis=-2)
+        blocks_flat = mcu.reshape(-1, 64)  # local batch folded in
+
+        words, bits, seg_bits, ovf = scan_pack(
+            blocks_flat, spec, dc_sizes, dc_codes, ac_sizes, ac_codes, budget
+        )
+        data = words_to_bytes(words)
+        meta = jnp.concatenate(
+            [ovf.astype(jnp.int32)[None], bits[None], seg_bits]
+        )
+        # Keep per-stripe outputs sharded; one leading axis per mesh dim so
+        # out_specs can lay them out without collectives.
+        return data[None, None], meta[None, None]
+
+    in_spec = P("batch", "stripe", None, None)
+    if ColorType(color_type) is ColorType.LUMA:
+        in_spec = P("batch", "stripe", None)
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(in_spec, P(None), P(None), P(None), P(None)),
+        out_specs=(P("batch", "stripe", None), P("batch", "stripe", None)),
+    )
+    return jax.jit(fn), geo, spec
