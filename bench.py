@@ -67,7 +67,8 @@ def bench_batch(setup, imgs, w, h, color_type, reps=3):
         _apply(enc, setup)
         return enc.encode_batch(imgs, w, h, color_type)
 
-    outs = run()  # compile/settle
+    outs = run()  # compile
+    run()  # settle
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
