@@ -205,3 +205,22 @@ def test_full_encode_device_matches_host_color_types(ct):
         else:
             os.environ["TPUENC_DEVICE_ENTROPY"] = old
     assert host == dev, ct
+
+
+@pytest.mark.parametrize("wh", [(1, 1), (1, 17), (17, 1), (9, 9)])
+def test_full_encode_device_degenerate_sizes(wh):
+    w, h = wh
+    rng = np.random.default_rng(w * 100 + h)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    old = os.environ.get("TPUENC_DEVICE_ENTROPY")
+    try:
+        os.environ["TPUENC_DEVICE_ENTROPY"] = "0"
+        host = Encoder(85).encode(img, w, h, ColorType.RGB)
+        os.environ["TPUENC_DEVICE_ENTROPY"] = "strict"
+        dev = Encoder(85).encode(img, w, h, ColorType.RGB)
+    finally:
+        if old is None:
+            os.environ.pop("TPUENC_DEVICE_ENTROPY", None)
+        else:
+            os.environ["TPUENC_DEVICE_ENTROPY"] = old
+    assert host == dev, wh
