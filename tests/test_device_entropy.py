@@ -207,6 +207,32 @@ def test_full_encode_device_matches_host_color_types(ct):
     assert host == dev, ct
 
 
+@pytest.mark.parametrize("interval", [0, 4])
+def test_fused_batch_matches_singles(interval):
+    w, h = 66, 34
+    rng = np.random.default_rng(interval)
+    imgs = [rng.integers(0, 256, (h, w, 3), np.uint8) for _ in range(3)]
+    old = os.environ.get("TPUENC_DEVICE_ENTROPY")
+    try:
+        os.environ["TPUENC_DEVICE_ENTROPY"] = "strict"
+        enc = Encoder(85)
+        if interval:
+            enc.set_restart_interval(interval)
+        batch = enc.encode_batch(imgs, w, h, ColorType.RGB)
+        singles = []
+        for im in imgs:
+            e = Encoder(85)
+            if interval:
+                e.set_restart_interval(interval)
+            singles.append(e.encode(im, w, h, ColorType.RGB))
+    finally:
+        if old is None:
+            os.environ.pop("TPUENC_DEVICE_ENTROPY", None)
+        else:
+            os.environ["TPUENC_DEVICE_ENTROPY"] = old
+    assert batch == singles
+
+
 @pytest.mark.parametrize("wh", [(1, 1), (1, 17), (17, 1), (9, 9)])
 def test_full_encode_device_degenerate_sizes(wh):
     w, h = wh

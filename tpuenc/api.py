@@ -300,9 +300,15 @@ class Encoder:
             try:
                 from .entropy import device_encode as de
 
-                batch_scans = de.device_encode_batch(
-                    pixel_arrays, width, height, color_type, config, huffman
+                batch_scans = de.device_encode_batch_fused(
+                    np.stack(pixel_arrays), width, height, color_type,
+                    config, huffman,
                 )
+                if batch_scans is None:
+                    batch_scans = de.device_encode_batch(
+                        pixel_arrays, width, height, color_type, config,
+                        huffman,
+                    )
             except Exception:
                 if os.environ.get("TPUENC_DEVICE_ENTROPY") == "strict":
                     raise

@@ -357,6 +357,108 @@ def _finish_scans(buf_np, meta_np, scan_plan, seg_structure) -> List[bytes]:
     return scans
 
 
+@lru_cache(maxsize=32)
+def _build_fused_batch_fn(
+    width: int,
+    height: int,
+    color_type: ColorType,
+    config: EncoderConfig,
+    budget: int,
+    n_images: int,
+):
+    """Whole-batch fused program: (N, H, W, C) pixels -> one packed buffer.
+
+    All N images ride one interleaved scan_pack call whose segment
+    structure is per-image (or the restart interval within each image);
+    image boundaries are therefore byte-aligned DC-reset points and host
+    assembly just splits the buffer — one dispatch and two fetches for the
+    entire batch.
+    """
+    from ..kernels.pipeline import _build_coefficients_fn, scan_layout
+
+    layout = scan_layout(width, height, color_type, config)
+    assert layout["interleaved"]
+    components = layout["components"]
+    scan_plan = build_scan_plan(layout, components, config)
+    (_, spec, _), = scan_plan
+    bpm = len(layout["mcu_block_comps"])
+    blocks_per_image = layout["mcu_count"] * bpm
+
+    interval_blocks = (config.restart_interval or 0) * bpm
+    if interval_blocks and blocks_per_image % interval_blocks:
+        return None  # ragged segments across images: unsupported
+    seg = interval_blocks if interval_blocks else blocks_per_image
+    segs_per_image = blocks_per_image // seg
+    spec = spec._replace(seg_blocks=seg)
+
+    coeff_fn, _ = _build_coefficients_fn(
+        width, height, color_type, config, True
+    )
+    inner = coeff_fn.raw_fn
+
+    def fn(pixels, dc_sizes, dc_codes, ac_sizes, ac_codes):
+        streams = inner(pixels)  # ((N, B_img, 64),)
+        blocks = streams[0].reshape(-1, 64)
+        words, bits, seg_bits, ovf = scan_pack(
+            blocks, spec, dc_sizes, dc_codes, ac_sizes, ac_codes, budget
+        )
+        data = words_to_bytes(words)
+        meta = jnp.concatenate(
+            [ovf.astype(jnp.int32)[None], bits[None], seg_bits]
+        )
+        return data, meta
+
+    return jax.jit(fn), scan_plan, segs_per_image
+
+
+def device_encode_batch_fused(
+    pixels: np.ndarray,
+    width: int,
+    height: int,
+    color_type: ColorType,
+    config: EncoderConfig,
+    huffman,
+) -> Optional[List[List[bytes]]]:
+    """Single-program batch encode (interleaved mode).  Returns per-image
+    scan payload lists or None to fall back."""
+    if config.mode() != "interleaved" or config.optimize_huffman_table:
+        return None
+    n = pixels.shape[0]
+    key = ("batch", width, height, color_type, config, n)
+    tabs = tables_to_device(huffman)
+
+    budgets = list(BUDGET_LADDER)
+    if key in _budget_memo:
+        budgets = [b for b in budgets if b >= _budget_memo[key]]
+    for budget in budgets:
+        built = _build_fused_batch_fn(
+            width, height, color_type, config, budget, n
+        )
+        if built is None:
+            return None
+        fn, scan_plan, segs_per_image = built
+        buf, meta = fn(pixels, *tabs)
+        meta_np = np.asarray(meta)
+        if meta_np[0]:
+            continue
+        _budget_memo[key] = budget
+        seg_bytes = meta_np[2:] >> 3
+        buf_np = fetch_bytes(buf, int(meta_np[1]) >> 3)
+        out = []
+        off = 0
+        for i in range(n):
+            segs = seg_bytes[i * segs_per_image : (i + 1) * segs_per_image]
+            total = int(segs.sum())
+            data = buf_np[off : off + total].tobytes()
+            off += total
+            stuffed = native.stuff_segments(data, segs)
+            if stuffed is None:
+                stuffed = native.stuff_segments_py(data, segs.tolist())
+            out.append([stuffed])
+        return out
+    return None
+
+
 def device_encode_batch(
     images,
     width: int,
