@@ -29,8 +29,8 @@ def config1():
     w = h = 512
     img = benchlib.make_rgb(w, h)
     imgs = [benchlib.make_rgb(w, h, seed=i) for i in range(16)]
-    enc = Encoder(90)
-    enc.encode(img, w, h, ColorType.RGB)
+    Encoder(90).encode_batch(imgs, w, h, ColorType.RGB)  # compile
+    Encoder(90).encode_batch(imgs, w, h, ColorType.RGB)  # settle
     t0 = time.perf_counter()
     Encoder(90).encode_batch(imgs, w, h, ColorType.RGB)
     dt = time.perf_counter() - t0

@@ -424,6 +424,9 @@ def device_encode_batch_fused(
     if config.mode() != "interleaved" or config.optimize_huffman_table:
         return None
     n = pixels.shape[0]
+    # Keep the packing tree's intermediate memory bounded (~1KB/block).
+    if n * (width // 8 + 1) * (height // 8 + 1) > 3_000_000:
+        return None
     key = ("batch", width, height, color_type, config, n)
     tabs = tables_to_device(huffman)
 
