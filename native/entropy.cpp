@@ -211,6 +211,98 @@ extern "C" int64_t tpuenc_stuff_segments(
     return op;
 }
 
+// Assemble a scan from a device-packed *bit-granular* stream: the device
+// emits a pure bit concatenation of per-block entropy codes with no byte
+// alignment; this pass extracts each restart segment at its bit offset,
+// re-aligns it to a byte boundary, pads the tail with 1-bits
+// (writer.rs:138-145), applies 0xFF->0xFF00 stuffing and inserts RST
+// markers (index cycling 0..7, encoder.rs:723-757).  Segments are
+// independent, so they are processed on worker threads into per-segment
+// buffers and concatenated.
+extern "C" int64_t tpuenc_realign_segments(
+    const uint8_t* in, const int64_t* seg_bits, int64_t n_segs,
+    int num_threads, uint8_t* out, int64_t out_cap) {
+    if (n_segs <= 0) return 0;
+    std::vector<int64_t> bit_off(n_segs + 1, 0);
+    for (int64_t s = 0; s < n_segs; ++s)
+        bit_off[s + 1] = bit_off[s] + seg_bits[s];
+
+    std::vector<std::vector<uint8_t>> seg_out(n_segs);
+    std::atomic<int64_t> next{0};
+    auto worker = [&]() {
+        for (;;) {
+            int64_t s = next.fetch_add(1);
+            if (s >= n_segs) break;
+            const int64_t o = bit_off[s];
+            const int64_t n = seg_bits[s];
+            std::vector<uint8_t>& dst = seg_out[s];
+            dst.reserve((size_t)(n / 8 + 8));
+            // Stream bits [o, o+n) MSB-first into a byte-aligned,
+            // 1-padded, stuffed buffer.
+            uint64_t acc = 0;
+            int nbits = 0;
+            int64_t ip = o >> 3;
+            int lead = (int)(o & 7);
+            int64_t remaining = n;
+            auto flush = [&]() {
+                while (nbits >= 8) {
+                    nbits -= 8;
+                    uint8_t b = (uint8_t)((acc >> nbits) & 0xFF);
+                    dst.push_back(b);
+                    if (b == 0xFF) dst.push_back(0x00);
+                }
+                acc &= (1ull << nbits) - 1ull;
+            };
+            if (lead) {
+                int take = (int)std::min<int64_t>(8 - lead, remaining);
+                uint8_t b = in[ip++];
+                acc = (b >> (8 - lead - take)) & ((1u << take) - 1u);
+                nbits = take;
+                remaining -= take;
+            }
+            while (remaining >= 8) {
+                acc = (acc << 8) | in[ip++];
+                nbits += 8;
+                remaining -= 8;
+                flush();
+            }
+            if (remaining > 0) {
+                uint8_t b = in[ip];
+                acc = (acc << remaining) | (b >> (8 - remaining));
+                nbits += (int)remaining;  // may exceed 8 (lead + tail bits)
+            }
+            if (nbits & 7) {  // pad to byte with 1-bits
+                int pad = 8 - (nbits & 7);
+                acc = (acc << pad) | ((1u << pad) - 1u);
+                nbits += pad;
+            }
+            flush();
+        }
+    };
+    if (num_threads < 1) num_threads = 1;
+    int nt = (int)std::min<int64_t>(num_threads, n_segs);
+    if (nt > 1) {
+        std::vector<std::thread> threads;
+        for (int i = 0; i < nt; ++i) threads.emplace_back(worker);
+        for (auto& th : threads) th.join();
+    } else {
+        worker();
+    }
+
+    int64_t op = 0;
+    for (int64_t s = 0; s < n_segs; ++s) {
+        if (s > 0) {
+            if (op + 2 > out_cap) return -1;
+            out[op++] = 0xFF;
+            out[op++] = (uint8_t)(0xD0 + ((s - 1) & 7));
+        }
+        if (op + (int64_t)seg_out[s].size() > out_cap) return -1;
+        std::memcpy(out + op, seg_out[s].data(), seg_out[s].size());
+        op += (int64_t)seg_out[s].size();
+    }
+    return op;
+}
+
 extern "C" int64_t tpuenc_encode_scan(
     const int16_t* blocks, int64_t n_blocks, const int32_t* comp_ids,
     const uint8_t* dc_sizes, const uint16_t* dc_codes,

@@ -72,6 +72,15 @@ def _load():
             ctypes.c_void_p,   # out
             ctypes.c_longlong, # out capacity
         ]
+        lib.tpuenc_realign_segments.restype = ctypes.c_longlong
+        lib.tpuenc_realign_segments.argtypes = [
+            ctypes.c_void_p,   # in bytes (bit-granular stream)
+            ctypes.c_void_p,   # seg_bits int64*
+            ctypes.c_longlong, # n_segs
+            ctypes.c_int,      # num_threads
+            ctypes.c_void_p,   # out
+            ctypes.c_longlong, # out capacity
+        ]
         lib.tpuenc_encode_scan.restype = ctypes.c_longlong
         lib.tpuenc_encode_scan.argtypes = [
             ctypes.c_void_p,   # blocks int16 (B,64)
@@ -183,6 +192,56 @@ def stuff_segments(data: bytes, seg_lens) -> Optional[bytes]:
     if n < 0:
         return None
     return out[:n].tobytes()
+
+
+def realign_segments(data: bytes, seg_bits, num_threads: int = 0) -> Optional[bytes]:
+    """Assemble a scan from a *bit-granular* device stream: per restart
+    segment, shift to byte alignment, 1-pad the tail, 0xFF-stuff and insert
+    RST markers.  ``seg_bits`` holds per-segment BIT lengths; segment s
+    starts at bit offset sum(seg_bits[:s]).  Returns None when the native
+    library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    seg_bits = np.ascontiguousarray(seg_bits, dtype=np.int64)
+    buf = np.frombuffer(data, dtype=np.uint8)
+    total_bytes = int(seg_bits.sum()) // 8 + len(seg_bits)
+    cap = 2 * total_bytes + 2 * len(seg_bits) + 16
+    out = np.empty(cap, dtype=np.uint8)
+    n = lib.tpuenc_realign_segments(
+        buf.ctypes.data_as(ctypes.c_void_p),
+        seg_bits.ctypes.data_as(ctypes.c_void_p),
+        len(seg_bits),
+        num_threads or (os.cpu_count() or 1),
+        out.ctypes.data_as(ctypes.c_void_p),
+        cap,
+    )
+    if n < 0:
+        return None
+    return out[:n].tobytes()
+
+
+def realign_segments_py(data: bytes, seg_bits) -> bytes:
+    """Pure-Python fallback for :func:`realign_segments`."""
+    out = bytearray()
+    bit_off = 0
+    for s, nbits in enumerate(seg_bits):
+        nbits = int(nbits)
+        if s > 0:
+            out += bytes((0xFF, 0xD0 + ((s - 1) & 7)))
+        # Extract bits [bit_off, bit_off + nbits) from the stream.
+        b0 = bit_off >> 3
+        b1 = (bit_off + nbits + 7) >> 3
+        window = int.from_bytes(data[b0:b1], "big")
+        win_bits = (b1 - b0) * 8
+        drop = win_bits - (bit_off & 7) - nbits
+        seg = (window >> drop) & ((1 << nbits) - 1) if nbits else 0
+        pad = (-nbits) % 8
+        seg = (seg << pad) | ((1 << pad) - 1)
+        raw = seg.to_bytes((nbits + pad) // 8, "big")
+        out += raw.replace(b"\xff", b"\xff\x00")
+        bit_off += nbits
+    return bytes(out)
 
 
 def stuff_segments_py(data: bytes, seg_lens) -> bytes:

@@ -1,0 +1,556 @@
+"""Pallas TPU kernel: per-block entropy bit packing, VMEM-resident.
+
+Round-2 replacement for the hot half of ``device_pack.scan_pack``.  The
+reference's serial bit-writer (``/root/reference/src/writer.rs:331-388``)
+maps to three stages here:
+
+1. **Symbolize + Huffman lookup** (this kernel, ``(TILE, 64)`` layout):
+   magnitude categories via float-exponent extraction, zero runs via
+   log-shift running maxima, and Huffman (size, code) lookups as
+   ``tpu.dynamic_gather`` ops — single-vreg 64-lane table gathers, which
+   replace the 128-step select chain that dominated round 1 (~40 ms/3.6 MP
+   -> ~0.1 ms).
+2. **In-block merge tree** (this kernel, ``(N, C, TILE)`` layout): the six
+   pairwise merge levels that fold 64 variable-length items into one
+   bitstring per block run entirely in VMEM.  Pairing is done on the
+   leading array axis (free in Mosaic), the word-granular barrel shift on
+   the sublane axis, with all ``TILE`` blocks riding the lane axis at full
+   density.
+3. **Cross-block merge** (XLA, ``device_pack.merge_level``): per-block
+   streams are already compact (<=19 words), so the remaining log2(B)
+   levels are cheap bandwidth-bound elementwise passes.
+
+Unlike round 1, restart segments are **not** byte-aligned on device: the
+kernel emits a pure bit-concatenation of per-block codes (DC diff, ZRLs,
+AC symbols, EOB) and returns exact per-block bit lengths.  The host's
+native ``tpuenc_realign_segments`` shifts each restart segment to a byte
+boundary, 1-pads it (writer.rs:138-145) and 0xFF-stuffs in one pass —
+which generalizes the device path to arbitrary restart intervals, batched
+images and sharded stripes.
+
+DC differentials (with per-segment predictor resets, encoder.rs:748-757)
+are precomputed in XLA by :func:`dc_diffs_for_spec` so tiles need no
+cross-tile communication.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .device_pack import ScanSpec, merge_level
+
+U32 = jnp.uint32
+
+
+# ---------------------------------------------------------------------------
+# Elementwise helpers (shift amounts may be 0..32; uint32-safe like
+# device_pack._shr/_shl but local so the kernel has no module-level jax
+# tracing surprises).
+# ---------------------------------------------------------------------------
+
+# NOTE: shift amounts stay int32 (Mosaic has no unsigned min/max); only the
+# shifted values are uint32.
+
+def _clamp31(n):
+    n = n.astype(jnp.int32)
+    return jnp.clip(n, 0, 31).astype(U32)
+
+
+def _mask(nbits):
+    n = nbits.astype(jnp.int32)
+    full = jnp.left_shift(jnp.uint32(1), _clamp31(n)) - jnp.uint32(1)
+    return jnp.where(n >= 32, jnp.uint32(0xFFFFFFFF), full)
+
+
+def _shr(x, n):
+    n = n.astype(jnp.int32)
+    return jnp.where(n >= 32, jnp.uint32(0), jnp.right_shift(x, _clamp31(n)))
+
+
+def _shl(x, n):
+    n = n.astype(jnp.int32)
+    return jnp.where(n >= 32, jnp.uint32(0), jnp.left_shift(x, _clamp31(n)))
+
+
+def _bit_length(av):
+    """Magnitude category of a non-negative int32 array via the float32
+    exponent (exact for values < 2^24; JPEG magnitudes are <= 2^15)."""
+    f = av.astype(jnp.float32)
+    bits = jax.lax.bitcast_convert_type(f, jnp.int32)
+    size = (bits >> 23) - 126  # exponent + 1
+    return jnp.where(av == 0, 0, size)
+
+
+def _append_bits(lens, w0, w1, w2, bits, blen):
+    """Append ``blen`` (<=32) low-aligned bits to MSB-aligned 96-bit
+    registers held as three uint32 arrays.  Same math as
+    device_pack.reg96_append."""
+    bits = bits.astype(U32) & _mask(blen)
+    end = lens + blen
+    out = []
+    for j, w in enumerate((w0, w1, w2)):
+        rs = end - 32 * (j + 1)
+        c = jnp.where(rs >= 0, _shr(bits, rs), _shl(bits, -rs))
+        c = jnp.where(blen > 0, c, jnp.uint32(0))
+        out.append(w | c)
+    return end, out[0], out[1], out[2]
+
+
+def _select_by_table(tab_col, per_table_vals):
+    """Select between per-table arrays/scalars by a (TILE, 1) table-id
+    column.  ``per_table_vals`` is a list indexed by table id."""
+    out = per_table_vals[-1]
+    for t in range(len(per_table_vals) - 2, -1, -1):
+        out = jnp.where(tab_col == t, per_table_vals[t], out)
+    return out
+
+
+def _merge_ncT(lens, words, cap_out):
+    """One merge level in the (N, C, TILE) layout.
+
+    ``lens``: (N, 1, T) int32; ``words``: (N, C, T) uint32 MSB-aligned.
+    Returns ((N//2, 1, T), (N//2, cap_out, T), overflow).  Pairing uses the
+    leading axis (free in Mosaic); the word-offset barrel shift runs on the
+    sublane axis C.
+    """
+    N, C, T = words.shape
+    w4 = words.reshape(N // 2, 2, C, T)
+    a = w4[:, 0]
+    b = w4[:, 1]
+    l4 = lens.reshape(N // 2, 2, 1, T)
+    la = l4[:, 0]
+    lb = l4[:, 1]
+    out_len = la + lb
+
+    pad = ((0, 0), (0, cap_out - C), (0, 0))
+    a_ext = jnp.pad(a, pad)
+    b_ext = jnp.pad(b, pad)
+
+    bit_off = la & 31  # int32; shift helpers clamp/cast internally
+    word_off = la >> 5
+
+    hi = _shr(b_ext, jnp.broadcast_to(bit_off, b_ext.shape))
+    prev = jnp.concatenate(
+        [jnp.zeros_like(b_ext[:, :1]), b_ext[:, :-1]], axis=1
+    )
+    lo = _shl(prev, jnp.broadcast_to(32 - bit_off, prev.shape))
+    lo = jnp.where(bit_off == 0, jnp.uint32(0), lo)
+    bb = hi | lo
+
+    k = 1
+    while k <= cap_out:
+        mask = (word_off & k) != 0
+        shifted = jnp.concatenate(
+            [jnp.zeros_like(bb[:, :k]), bb[:, :-k]], axis=1
+        )
+        bb = jnp.where(jnp.broadcast_to(mask, bb.shape), shifted, bb)
+        k <<= 1
+
+    merged = a_ext | bb
+    overflow = jnp.any(out_len > 32 * cap_out)
+    return out_len, merged, overflow
+
+
+def block_caps(budget_words: int):
+    """Chunk word capacities for the six in-block merge levels plus the
+    EOB-append level (same schedule as device_pack.block_cap_schedule)."""
+    caps = []
+    c = 3
+    for k in range(1, 7):
+        n_slots = 1 << k
+        limit = max(5, (budget_words * n_slots + 63) // 64 + 2)
+        c = min(2 * c, limit)
+        caps.append(c)
+    return caps
+
+
+# ---------------------------------------------------------------------------
+# The kernel.
+# ---------------------------------------------------------------------------
+
+def _pack_tile_kernel(
+    q_ref, dcdiff_ref, dctabs_ref, actabs_ref,
+    words_ref, lens_ref,
+    *,
+    tile: int,
+    n_blocks: int,
+    spec: ScanSpec,
+    budget: int,
+):
+    from jax.experimental import pallas as pl
+
+    T = tile
+    ss, se = spec.spectral_start, spec.spectral_end
+    pat = len(spec.dc_tab_pattern)
+
+    g = pl.program_id(0)
+    bidx = g * T + jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)
+    valid = bidx < n_blocks
+
+    # Static per-block table ids from the repeating pattern.
+    distinct_dc = sorted(set(spec.dc_tab_pattern))
+    distinct_ac = sorted(set(spec.ac_tab_pattern))
+    if len(distinct_dc) == 1:
+        dctab = jnp.full((T, 1), distinct_dc[0], jnp.int32)
+    else:
+        pos = bidx % pat
+        dctab = jnp.full((T, 1), int(spec.dc_tab_pattern[0]), jnp.int32)
+        for p in range(1, pat):
+            dctab = jnp.where(pos == p, int(spec.dc_tab_pattern[p]), dctab)
+    if len(distinct_ac) == 1:
+        actab = jnp.full((T, 1), distinct_ac[0], jnp.int32)
+    else:
+        pos = bidx % pat
+        actab = jnp.full((T, 1), int(spec.ac_tab_pattern[0]), jnp.int32)
+        for p in range(1, pat):
+            actab = jnp.where(pos == p, int(spec.ac_tab_pattern[p]), actab)
+
+    q = q_ref[:]  # (T, 64) int32
+
+    # Per-slot item registers.
+    lens = jnp.zeros((T, 64), jnp.int32)
+    w0 = jnp.zeros((T, 64), U32)
+    w1 = jnp.zeros((T, 64), U32)
+    w2 = jnp.zeros((T, 64), U32)
+
+    slot = jax.lax.broadcasted_iota(jnp.int32, (T, 64), 1)
+
+    # ----- DC item (slot 0) ------------------------------------------------
+    if spec.emit_dc:
+        diff = dcdiff_ref[:]  # (T, 1) int32
+        size = _bit_length(jnp.abs(diff))
+        extra = (diff - (diff < 0).astype(jnp.int32)).astype(U32) & _mask(size)
+        # Lookup idx = tab*16 + size over the (n_tabs*16 <= 64)-entry packed
+        # table replicated along lanes; one 64-lane dynamic gather.
+        idx = jnp.broadcast_to(dctab * 16 + size, (T, 64))
+        op = jnp.broadcast_to(dctabs_ref[0:1, 0:64], (T, 64)).astype(jnp.int32)
+        lut = jnp.take_along_axis(op, idx, axis=1)[:, 0:1].astype(U32)
+        hs = (lut >> 16).astype(jnp.int32)
+        hc = lut & 0xFFFF
+        dc_bits = _shl(hc, size) | extra
+        dc_blen = jnp.where(valid, hs + size, 0)
+        dl, dw0, dw1, dw2 = _append_bits(
+            jnp.zeros((T, 1), jnp.int32), jnp.zeros((T, 1), U32),
+            jnp.zeros((T, 1), U32), jnp.zeros((T, 1), U32),
+            dc_bits, dc_blen,
+        )
+        at0 = slot == 0
+        lens = jnp.where(at0, dl, lens)
+        w0 = jnp.where(at0, dw0, w0)
+        w1 = jnp.where(at0, dw1, w1)
+        w2 = jnp.where(at0, dw2, w2)
+
+    # ----- AC items (slots ss..se) -----------------------------------------
+    eob_flag = jnp.zeros((T, 1), bool)
+    if spec.emit_ac:
+        in_band = (slot >= ss) & (slot < se)
+        band = jnp.where(in_band, q, 0)
+        nz = band != 0
+
+        # Running maximum of last-nonzero index via log-shifts along lanes.
+        lastnz = jnp.where(nz, slot, -1)
+        sh = 1
+        while sh < 64:
+            prev_ln = jnp.concatenate(
+                [jnp.full((T, sh), -1, jnp.int32), lastnz[:, :-sh]], axis=1
+            )
+            lastnz = jnp.maximum(lastnz, prev_ln)
+            sh <<= 1
+        prevnz = jnp.concatenate(
+            [jnp.full((T, 1), -1, jnp.int32), lastnz[:, :-1]], axis=1
+        )
+        # First in-band slot's previous-nonzero is ss-1 (band start).
+        prevnz = jnp.maximum(prevnz, ss - 1)
+        run = slot - prevnz - 1
+
+        size = _bit_length(jnp.abs(band))
+        extra = (band - (band < 0).astype(jnp.int32)).astype(U32) & _mask(size)
+        sym = ((run & 15) << 4) | size
+        zrl_count = jnp.where(nz, run >> 4, 0)
+
+        # Huffman lookup: four 64-lane gathers over the 256-entry packed
+        # table (per-block table id selected per row), select by sym>>6.
+        sym_lo = sym & 63
+        vals = []
+        for k in range(4):
+            tabs_k = [
+                jnp.broadcast_to(
+                    actabs_ref[t:t + 1, k * 64:(k + 1) * 64], (T, 64)
+                ).astype(jnp.int32)
+                for t in range(actabs_ref.shape[0])
+            ]
+            if len(distinct_ac) == 1:
+                op = tabs_k[distinct_ac[0]]
+            else:
+                op = _select_by_table(actab, tabs_k)
+            vals.append(jnp.take_along_axis(op, sym_lo, axis=1))
+        hi2 = sym >> 6
+        lut = vals[3]
+        for k in (2, 1, 0):
+            lut = jnp.where(hi2 == k, vals[k], lut)
+        lut = lut.astype(U32)
+        sym_hs = (lut >> 16).astype(jnp.int32)
+        sym_hc = lut & 0xFFFF
+
+        # ZRL code: scalar per table id.
+        zrl_luts = [actabs_ref[t, 0xF0] for t in range(actabs_ref.shape[0])]
+        if len(distinct_ac) == 1:
+            zrl_lut = jnp.full((T, 1), zrl_luts[distinct_ac[0]], jnp.int32)
+        else:
+            zrl_lut = _select_by_table(
+                actab, [jnp.full((T, 1), z, jnp.int32) for z in zrl_luts]
+            )
+        zrl_lut = jnp.broadcast_to(zrl_lut, (T, 64)).astype(U32)
+        zrl_hs = (zrl_lut >> 16).astype(jnp.int32)
+        zrl_hc = (zrl_lut & 0xFFFF)
+
+        item_active = nz & jnp.broadcast_to(valid, (T, 64))
+        al = jnp.zeros((T, 64), jnp.int32)
+        a0 = jnp.zeros((T, 64), U32)
+        a1 = jnp.zeros((T, 64), U32)
+        a2 = jnp.zeros((T, 64), U32)
+        for tz in range(3):  # up to 3 ZRL codes per item (run <= 62)
+            active = (zrl_count > tz) & item_active
+            al, a0, a1, a2 = _append_bits(
+                al, a0, a1, a2,
+                jnp.where(active, zrl_hc, jnp.uint32(0)),
+                jnp.where(active, zrl_hs, 0),
+            )
+        sym_bits = _shl(sym_hc, size) | extra
+        sym_blen = jnp.where(item_active, sym_hs + size, 0)
+        al, a0, a1, a2 = _append_bits(al, a0, a1, a2, sym_bits, sym_blen)
+
+        ac_slots = in_band & (slot > 0) if spec.emit_dc else in_band
+        lens = jnp.where(ac_slots, al, lens)
+        w0 = jnp.where(ac_slots, a0, w0)
+        w1 = jnp.where(ac_slots, a1, w1)
+        w2 = jnp.where(ac_slots, a2, w2)
+
+        eob_flag = (lastnz[:, 63:64] < (se - 1)) & valid
+
+    # ----- Transpose to (N, C, T) layout and run the in-block tree. --------
+    lens_t = lens.T.reshape(64, 1, T)
+    words_nct = jnp.concatenate(
+        [w0.T.reshape(64, 1, T), w1.T.reshape(64, 1, T),
+         w2.T.reshape(64, 1, T)],
+        axis=1,
+    )
+
+    caps = block_caps(budget)
+    cur_len, cur_w = lens_t, words_nct
+    overflow = jnp.zeros((), bool)
+    for cap in caps:
+        cur_len, cur_w, ovf = _merge_ncT(cur_len, cur_w, cap)
+        overflow = overflow | ovf
+
+    # ----- EOB append ------------------------------------------------------
+    cap_final = caps[-1] + 1
+    if spec.emit_ac:
+        eob_luts = [actabs_ref[t, 0x00] for t in range(actabs_ref.shape[0])]
+        if len(distinct_ac) == 1:
+            eob_lut = jnp.full((T, 1), eob_luts[distinct_ac[0]], jnp.int32)
+        else:
+            eob_lut = _select_by_table(
+                actab, [jnp.full((T, 1), z, jnp.int32) for z in eob_luts]
+            )
+        eob_lut = eob_lut.astype(U32)
+        eob_hs = jnp.where(eob_flag, (eob_lut >> 16).astype(jnp.int32), 0)
+        eob_hc = jnp.where(eob_flag, eob_lut & 0xFFFF, jnp.uint32(0))
+        # Tail chunk: EOB code MSB-aligned in its first word.
+        tail_w = _shl(eob_hc, 32 - jnp.minimum(eob_hs, 32))
+        tail_words = jnp.concatenate(
+            [tail_w.T.reshape(1, 1, T)] +
+            [jnp.zeros((1, 1, T), U32)] * (cap_final - 1),
+            axis=1,
+        )
+        tail_len = eob_hs.T.reshape(1, 1, T)
+        two_len = jnp.concatenate([cur_len, tail_len], axis=0)
+        two_w = jnp.concatenate(
+            [jnp.pad(cur_w, ((0, 0), (0, cap_final - caps[-1]), (0, 0))),
+             tail_words],
+            axis=0,
+        )
+        cur_len, cur_w, ovf = _merge_ncT(two_len, two_w, cap_final)
+        overflow = overflow | ovf
+    else:
+        cur_w = jnp.pad(cur_w, ((0, 0), (0, cap_final - caps[-1]), (0, 0)))
+
+    # cur_len (1, 1, T), cur_w (1, cap_final, T).  Row 0 of the lens slab
+    # holds per-block bit lengths; row 1 broadcasts the tile overflow flag
+    # (a separate (1,1) output block is not a legal Mosaic block shape).
+    words_ref[0] = cur_w[0]
+    lens_ref[0, 0] = cur_len[0, 0]
+    lens_ref[0, 1] = jnp.broadcast_to(
+        overflow.astype(jnp.int32).reshape(1, 1), (1, T)
+    )[0]
+
+
+def final_block_cap(budget: int) -> int:
+    return block_caps(budget)[-1] + 1
+
+
+@lru_cache(maxsize=128)
+def _build_pack_blocks_fn(
+    tile: int,
+    n_blocks: int,
+    n_tiles: int,
+    spec: ScanSpec,
+    budget: int,
+    n_actabs: int,
+    interpret: bool,
+):
+    """jit(q_padded, dcdiff, dc_packed, ac_packed) ->
+    (words (Bp, capB) u32, lens (Bp,) i32, overflow bool)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    capB = final_block_cap(budget)
+    kern = partial(
+        _pack_tile_kernel,
+        tile=tile, n_blocks=n_blocks, spec=spec, budget=budget,
+    )
+
+    grid = (n_tiles,)
+    call = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, 64), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 64), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_actabs, 256), lambda g: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, capB, tile), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, tile), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, capB, tile), jnp.uint32),
+            jax.ShapeDtypeStruct((n_tiles, 8, tile), jnp.int32),
+        ],
+        interpret=interpret,
+    )
+
+    def fn(q_padded, dcdiff, dc_packed, ac_packed):
+        words_t, lens_t = call(q_padded, dcdiff, dc_packed, ac_packed)
+        # (G, capB, T) -> (G*T, capB); lens slab row 0 -> (G*T,), row 1 ->
+        # per-tile overflow flags.
+        words = jnp.swapaxes(words_t, 1, 2).reshape(n_tiles * tile, capB)
+        lens = lens_t[:, 0, :].reshape(n_tiles * tile)
+        overflow = jnp.any(lens_t[:, 1, :] != 0)
+        return words, lens, overflow
+
+    return jax.jit(fn)
+
+
+# ---------------------------------------------------------------------------
+# XLA-side orchestration: DC diffs, kernel, cross-block tree.
+# ---------------------------------------------------------------------------
+
+def dc_diffs_for_spec(blocks, spec: ScanSpec):
+    """(B,) int32 DC differentials with same-component predecessors and
+    per-segment predictor resets (reference encoder.rs:748-757)."""
+    B = blocks.shape[0]
+    dc = blocks[:, 0].astype(jnp.int32)
+    pat = len(spec.dc_tab_pattern)
+    bidx = jnp.arange(B, dtype=jnp.int32)
+    pos_in_pat = bidx % pat
+    delta = jnp.full((B,), int(spec.dc_prev_delta[0]), jnp.int32)
+    for p in range(1, pat):
+        delta = jnp.where(pos_in_pat == p, int(spec.dc_prev_delta[p]), delta)
+    prev = jnp.zeros((B,), jnp.int32)
+    for d in sorted(set(spec.dc_prev_delta)):
+        rolled = jnp.roll(dc, d)
+        prev = jnp.where(delta == d, rolled, prev)
+    seg = spec.seg_blocks if spec.seg_blocks > 0 else B
+    in_seg = (bidx % seg) >= delta
+    prev = jnp.where(in_seg, prev, 0)
+    return dc - prev
+
+
+def pack_tables(huffman_arrays):
+    """(dc_sizes, dc_codes, ac_sizes, ac_codes) (T,256) u32 arrays ->
+    (dc_packed (1,64) i32 [tab*16+size], ac_packed (T,256) i32)."""
+    dc_sizes, dc_codes, ac_sizes, ac_codes = huffman_arrays
+    T = dc_sizes.shape[0]
+    dc_sizes = np.asarray(dc_sizes)
+    dc_codes = np.asarray(dc_codes)
+    dc_packed = np.zeros((1, 64), np.int32)
+    for t in range(min(T, 4)):
+        dc_packed[0, t * 16:(t + 1) * 16] = (
+            (dc_sizes[t, :16].astype(np.int64) << 16)
+            | dc_codes[t, :16].astype(np.int64)
+        ).astype(np.int32)
+    ac_packed = (
+        (np.asarray(ac_sizes).astype(np.int64) << 16)
+        | np.asarray(ac_codes).astype(np.int64)
+    ).astype(np.int32)
+    return jnp.asarray(dc_packed), jnp.asarray(ac_packed)
+
+
+def scan_pack_blocks(
+    blocks,
+    spec: ScanSpec,
+    dc_packed,
+    ac_packed,
+    budget: int,
+    *,
+    tile: int = 256,
+    interpret: bool = False,
+):
+    """Pack one scan: (B, 64) int blocks -> per-block bitstrings + lens.
+
+    Returns (words (Bp, capB) u32, lens (Bp,) i32, overflow).  Bp is B
+    rounded up to the tile size; padding blocks have len 0.
+    """
+    B = blocks.shape[0]
+    n_tiles = -(-B // tile)
+    Bp = n_tiles * tile
+    q = blocks.astype(jnp.int32)
+    dcdiff = dc_diffs_for_spec(q, spec) if spec.emit_dc else jnp.zeros(
+        (B,), jnp.int32
+    )
+    if Bp != B:
+        q = jnp.pad(q, ((0, Bp - B), (0, 0)))
+        dcdiff = jnp.pad(dcdiff, (0, Bp - B))
+
+    fn = _build_pack_blocks_fn(
+        tile, B, n_tiles, spec, budget, int(ac_packed.shape[0]), interpret
+    )
+    return fn(q, dcdiff[:, None], dc_packed, ac_packed)
+
+
+def merge_blocks_to_stream(words, lens, budget: int, capW: int | None = None):
+    """Cross-block XLA merge tree: (Bp, capB) u32 + (Bp,) lens -> one
+    MSB-aligned stream (total words clipped by the budget schedule).
+
+    Returns (stream_words, total_bits, overflow).
+    """
+    Bp, capB = words.shape
+    n_pad = 1 << max(1, (Bp - 1).bit_length())
+    if n_pad != Bp:
+        words = jnp.pad(words, ((0, n_pad - Bp), (0, 0)))
+        lens = jnp.pad(lens, (0, n_pad - Bp))
+
+    cap = capB
+    level_blocks = 1
+    overflow = jnp.zeros((), bool)
+    while n_pad > 1:
+        level_blocks *= 2
+        cap = min(2 * cap, budget * level_blocks + 2)
+        if capW is not None:
+            cap = min(cap, capW)
+        lens, words, ovf = merge_level(lens[None], words[None], cap)
+        lens, words = lens[0], words[0]
+        overflow = overflow | ovf
+        n_pad //= 2
+    return words[0], lens[0], overflow
