@@ -219,3 +219,26 @@ def test_kernel_optimized_tables():
     exp_acc, exp_bits = _expected_stream(per_block)
     assert total_bits == exp_bits
     assert _stream_to_int(stream, total_bits) == exp_acc
+
+
+def test_device_scan_pack_full_pipeline():
+    """P1+P2+P4 full-device pipeline matches the XLA-tree reference and the
+    serial packer (small substream/chunk sizes keep interpret mode fast)."""
+    from tpuenc.entropy.pallas_pack import device_scan_pack
+
+    spec = SPECS["interleaved_seg"]
+    huffman = _default_tables()
+    rng = np.random.default_rng(42)
+    blocks = _random_blocks(123, rng, density=0.25)
+    dc_p, ac_p = pack_tables(tables_to_arrays(huffman))
+
+    stream, total_bits, lens, ovf = device_scan_pack(
+        jnp.asarray(blocks), spec, dc_p, ac_p, 48,
+        tile=32, n_sub=16, chunk=8, interpret=True,
+    )
+    assert not bool(ovf)
+    per_block = _serial_bits(blocks, spec, huffman)
+    exp_acc, exp_bits = _expected_stream(per_block)
+    assert int(total_bits) == exp_bits
+    assert np.asarray(lens)[:123].tolist() == [n for _, n in per_block]
+    assert _stream_to_int(np.asarray(stream), int(total_bits)) == exp_acc

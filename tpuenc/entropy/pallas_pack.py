@@ -144,9 +144,12 @@ def _merge_ncT(lens, words, cap_out):
     k = 1
     while k <= cap_out:
         mask = (word_off & k) != 0
-        shifted = jnp.concatenate(
-            [jnp.zeros_like(bb[:, :k]), bb[:, :-k]], axis=1
-        )
+        if k >= cap_out:  # full shift-out (zero-size slices don't lower)
+            shifted = jnp.zeros_like(bb)
+        else:
+            shifted = jnp.concatenate(
+                [jnp.zeros_like(bb[:, :k]), bb[:, :-k]], axis=1
+            )
         bb = jnp.where(jnp.broadcast_to(mask, bb.shape), shifted, bb)
         k <<= 1
 
@@ -527,6 +530,255 @@ def scan_pack_blocks(
         tile, B, n_tiles, spec, budget, int(ac_packed.shape[0]), interpret
     )
     return fn(q, dcdiff[:, None], dc_packed, ac_packed)
+
+
+# ---------------------------------------------------------------------------
+# P2: substream chunk-merge kernel.  The scan's blocks are partitioned into
+# S=128 contiguous substreams (lanes); each grid step folds N2 consecutive
+# chunks of every substream with the same leading-dim merge tree as the
+# in-block phase.  Everything stays in VMEM; output chunks are fat
+# (~N2*budget words) so the remaining work is tiny.
+# ---------------------------------------------------------------------------
+
+def chunk_caps(cap_in: int, n_chunks: int, budget: int):
+    """Capacity schedule for merging ``n_chunks`` single-block chunks of
+    ``cap_in`` words (continues the cross-block schedule of the XLA tree)."""
+    caps = []
+    c = cap_in
+    blocks = 1
+    n = n_chunks
+    while n > 1:
+        blocks *= 2
+        c = min(2 * c, budget * blocks + 2)
+        caps.append(c)
+        n //= 2
+    return caps
+
+
+def _merge_chunks_kernel(lens_ref, words_ref, out_words_ref, out_lens_ref,
+                         *, caps):
+    cur_len = lens_ref[:]              # (N2, 1, S) int32
+    cur_w = words_ref[:].astype(U32)   # (N2, C_in, S)
+    overflow = jnp.zeros((), bool)
+    for cap in caps:
+        cur_len, cur_w, ovf = _merge_ncT(cur_len, cur_w, cap)
+        overflow = overflow | ovf
+    out_words_ref[0] = cur_w[0]
+    out_lens_ref[0, 0] = cur_len[0, 0]
+    S = cur_len.shape[-1]
+    out_lens_ref[0, 1] = jnp.broadcast_to(
+        overflow.astype(jnp.int32).reshape(1, 1), (1, S)
+    )[0]
+
+
+@lru_cache(maxsize=128)
+def _build_merge_chunks_fn(n1p: int, n2: int, cap_in: int, cap_out: int,
+                           n_sub: int, budget: int, interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    N2 = n1p // n2
+    caps = chunk_caps(cap_in, N2, budget)
+    assert caps[-1] == cap_out
+    kern = partial(_merge_chunks_kernel, caps=caps)
+    call = pl.pallas_call(
+        kern,
+        grid=(n2,),
+        in_specs=[
+            pl.BlockSpec((N2, 1, n_sub), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N2, cap_in, n_sub), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, cap_out, n_sub), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, n_sub), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n2, cap_out, n_sub), jnp.uint32),
+            jax.ShapeDtypeStruct((n2, 8, n_sub), jnp.int32),
+        ],
+        interpret=interpret,
+    )
+    return call
+
+
+# ---------------------------------------------------------------------------
+# P4: row concatenation kernel.  Rows (one per merged substream chunk, in
+# stream order) are appended into the final bitstream at precomputed bit
+# offsets: shift by the offset phase, OR the carry word from the previous
+# row into word 0, and DMA the row to its word offset in the HBM output.
+# Adjacent rows share one boundary word, so each DMA waits before the next
+# row writes (sequential grid order guarantees correctness).
+# ---------------------------------------------------------------------------
+
+def _concat_rows_kernel(pos_ref, bits_ref, rows_ref, out_ref,
+                        staging_ref, carry_ref, sem,
+                        *, rows_per_step: int, W: int, STG: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    g = pl.program_id(0)
+
+    @pl.when(g == 0)
+    def _():
+        carry_ref[:, :] = jnp.zeros((1, 128), U32)
+
+    def body(i, _):
+        r = g * rows_per_step + i
+        pos = pos_ref[r]
+        nbits = bits_ref[r]
+        # DMA starts must be provably 128-aligned: write the whole 128-word
+        # group containing the bit offset, with the row barrel-shifted to
+        # its in-group position and the previous group's content OR-carried.
+        woff = pos >> 5
+        base = woff & (-128)
+        d = woff - base          # in-group word offset, [0, 128)
+        phase = pos & 31
+
+        rv = rows_ref[pl.ds(i, 1), :].astype(U32)          # (1, W)
+        hi = _shr(rv, jnp.full((1, W), phase, jnp.int32))
+        prev = jnp.concatenate(
+            [jnp.zeros((1, 1), U32), rv[:, :-1]], axis=1
+        )
+        lo = _shl(prev, jnp.full((1, W), 32 - phase, jnp.int32))
+        lo = jnp.where(phase == 0, jnp.uint32(0), lo)
+        sh = hi | lo
+        tail = _shl(rv[:, W - 1:W], jnp.full((1, 1), 32 - phase, jnp.int32))
+        tail = jnp.where(phase == 0, jnp.uint32(0), tail)
+        stage = jnp.concatenate(
+            [sh, tail, jnp.zeros((1, STG - W - 1), U32)], axis=1
+        )
+        # Static 7-step lane barrel: shift right by d words.
+        for j in range(7):
+            k = 1 << j
+            shifted = jnp.concatenate(
+                [jnp.zeros((1, k), U32), stage[:, :-k]], axis=1
+            )
+            stage = jnp.where((d & k) != 0, shifted, stage)
+        stage = stage | jnp.pad(carry_ref[:, :], ((0, 0), (0, STG - 128)))
+        staging_ref[:, :] = stage
+
+        # Next carry group: the (possibly partial) 128-word group holding
+        # the new stream end, extracted with a left barrel by whole groups.
+        pos2 = pos + nbits
+        base2 = (pos2 >> 5) & (-128)
+        dgrp = (base2 - base) >> 7
+        ext = stage
+        for j in range((STG // 128 - 1).bit_length()):
+            k = 1 << j
+            shifted = jnp.concatenate(
+                [ext[:, k * 128:], jnp.zeros((1, k * 128), U32)], axis=1
+            )
+            ext = jnp.where((dgrp & k) != 0, shifted, ext)
+        carry_ref[:, :] = ext[:, :128]
+
+        dma = pltpu.make_async_copy(
+            staging_ref,
+            out_ref.at[:, pl.ds(pl.multiple_of(base, 128), STG)],
+            sem,
+        )
+        dma.start()
+        dma.wait()
+        return 0
+
+    jax.lax.fori_loop(0, rows_per_step, body, 0)
+
+
+@lru_cache(maxsize=128)
+def _build_concat_rows_fn(R: int, W: int, capW: int, interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rows_per_step = 8
+    assert R % rows_per_step == 0
+    STG = -(-(128 + W + 1) // 128) * 128
+    kern = partial(_concat_rows_kernel, rows_per_step=rows_per_step,
+                   W=W, STG=STG)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(R // rows_per_step,),
+        in_specs=[
+            pl.BlockSpec((rows_per_step, W), lambda g, *_: (g, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((1, STG), jnp.uint32),
+            pltpu.VMEM((1, 128), jnp.uint32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((1, capW), jnp.uint32),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )
+
+
+def device_scan_pack(
+    blocks,
+    spec: ScanSpec,
+    dc_packed,
+    ac_packed,
+    budget: int,
+    *,
+    tile: int = 256,
+    n_sub: int = 128,
+    chunk: int = 256,
+    interpret: bool = False,
+):
+    """Full device pack: (B, 64) blocks -> (stream_words, total_bits,
+    block_bits (B,), overflow), entirely in three Pallas stages.
+
+    The stream is a raw bit concatenation of per-block codes (no segment
+    alignment); callers derive per-segment bit lengths from ``block_bits``
+    and finish on the host with ``native.realign_segments``.
+    """
+    B = blocks.shape[0]
+    words, lens, ovf1 = scan_pack_blocks(
+        blocks, spec, dc_packed, ac_packed, budget,
+        tile=tile, interpret=interpret,
+    )
+    Bp, capB = words.shape
+
+    n1 = -(-Bp // n_sub)
+    n1p = -(-n1 // chunk) * chunk
+    total = n_sub * n1p
+    if total != Bp:
+        words = jnp.pad(words, ((0, total - Bp), (0, 0)))
+        lens_p = jnp.pad(lens, (0, total - Bp))
+    else:
+        lens_p = lens
+
+    X = jnp.transpose(words.reshape(n_sub, n1p, capB), (1, 2, 0))
+    L = jnp.transpose(lens_p.reshape(n_sub, n1p, 1), (1, 2, 0))
+
+    n2 = n1p // chunk
+    caps = chunk_caps(capB, chunk, budget)
+    cap_out = caps[-1]
+    p2 = _build_merge_chunks_fn(
+        n1p, n2, capB, cap_out, n_sub, budget, interpret
+    )
+    out_w, out_l = p2(L, X)
+    ovf2 = jnp.any(out_l[:, 1, :] != 0)
+
+    rows = jnp.transpose(out_w, (2, 0, 1)).reshape(n_sub * n2, cap_out)
+    row_bits = jnp.transpose(out_l[:, 0, :], (1, 0)).reshape(n_sub * n2)
+    pos = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(row_bits)[:-1]]
+    ).astype(jnp.int32)
+
+    R = n_sub * n2
+    capW = -(-(R * cap_out + cap_out + 256) // 128) * 128
+    p4 = _build_concat_rows_fn(R, cap_out, capW, interpret)
+    stream2d = p4(pos, row_bits.astype(jnp.int32), rows)
+    total_bits = pos[-1] + row_bits[-1]
+    return stream2d[0], total_bits, lens, ovf1 | ovf2
 
 
 def merge_blocks_to_stream(words, lens, budget: int, capW: int | None = None):
