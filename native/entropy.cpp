@@ -221,14 +221,18 @@ extern "C" int64_t tpuenc_stuff_segments(
 // buffers and concatenated.
 extern "C" int64_t tpuenc_realign_segments(
     const uint8_t* in, const int64_t* seg_bits, int64_t n_segs,
-    int num_threads, uint8_t* out, int64_t out_cap) {
+    int num_threads, uint8_t* out, int64_t out_cap, int skip_first) {
+    // skip_first: segment 0 only advances the bit offset (used to start
+    // mid-stream, e.g. per-image slices of a batch buffer); it is not
+    // emitted and RST numbering starts at the first emitted segment.
     if (n_segs <= 0) return 0;
     std::vector<int64_t> bit_off(n_segs + 1, 0);
     for (int64_t s = 0; s < n_segs; ++s)
         bit_off[s + 1] = bit_off[s] + seg_bits[s];
+    const int64_t first = skip_first ? 1 : 0;
 
     std::vector<std::vector<uint8_t>> seg_out(n_segs);
-    std::atomic<int64_t> next{0};
+    std::atomic<int64_t> next{first};
     auto worker = [&]() {
         for (;;) {
             int64_t s = next.fetch_add(1);
@@ -280,7 +284,7 @@ extern "C" int64_t tpuenc_realign_segments(
         }
     };
     if (num_threads < 1) num_threads = 1;
-    int nt = (int)std::min<int64_t>(num_threads, n_segs);
+    int nt = (int)std::min<int64_t>(num_threads, n_segs - first);
     if (nt > 1) {
         std::vector<std::thread> threads;
         for (int i = 0; i < nt; ++i) threads.emplace_back(worker);
@@ -290,11 +294,12 @@ extern "C" int64_t tpuenc_realign_segments(
     }
 
     int64_t op = 0;
-    for (int64_t s = 0; s < n_segs; ++s) {
-        if (s > 0) {
+    for (int64_t s = first; s < n_segs; ++s) {
+        const int64_t e = s - first;  // emitted-segment index for RSTs
+        if (e > 0) {
             if (op + 2 > out_cap) return -1;
             out[op++] = 0xFF;
-            out[op++] = (uint8_t)(0xD0 + ((s - 1) & 7));
+            out[op++] = (uint8_t)(0xD0 + ((e - 1) & 7));
         }
         if (op + (int64_t)seg_out[s].size() > out_cap) return -1;
         std::memcpy(out + op, seg_out[s].data(), seg_out[s].size());

@@ -135,6 +135,102 @@ def _n_segments(n_blocks: int, seg_blocks: int) -> int:
     return -(-n_blocks // seg)
 
 
+def pack_version() -> str:
+    """Which device bit-packer to use: the round-2 Pallas pipeline ("v2",
+    default on TPU) or the XLA log-tree ("v1", default elsewhere).
+    Override with TPUENC_PACK=v1|v2."""
+    import os
+
+    v = os.environ.get("TPUENC_PACK", "auto")
+    if v in ("v1", "v2"):
+        return v
+    return "v2" if jax.default_backend() == "tpu" else "v1"
+
+
+def _pack_scans_v2(comp_streams, scan_plan, dc_packed, ac_packed, budget,
+                   interpret=False):
+    """Pallas-pipeline analog of :func:`_pack_scans`.
+
+    Scans are packed as raw (unaligned) bitstreams and placed into one
+    uint32 word buffer at word offsets; segment alignment happens on the
+    host (``native.realign_segments``).  meta = [overflow, scan_bits...,
+    seg_bits...] with seg_bits UNPADDED bit counts.
+    """
+    from .pallas_pack import device_scan_pack
+
+    bufs = []
+    scan_bits = []
+    seg_bits_all = []
+    overflow = jnp.asarray(False)
+    for stream_idx, spec, _ in scan_plan:
+        blocks = comp_streams[stream_idx]
+        stream, bits, lens, ovf = device_scan_pack(
+            blocks, spec, dc_packed, ac_packed, budget, interpret=interpret
+        )
+        B = blocks.shape[0]
+        seg = spec.seg_blocks if spec.seg_blocks > 0 else B
+        n_seg = -(-B // seg)
+        lens_real = lens[:B]
+        padded = jnp.pad(lens_real, (0, n_seg * seg - B))
+        seg_bits_all.append(padded.reshape(n_seg, seg).sum(axis=1))
+        bufs.append(stream)
+        scan_bits.append(bits)
+        overflow = overflow | ovf
+
+    total_cap = sum(b.shape[0] for b in bufs)
+    out = jnp.zeros((total_cap,), dtype=jnp.uint32)
+    offset = jnp.zeros((), dtype=jnp.int32)
+    for b, bits in zip(bufs, scan_bits):
+        out = jax.lax.dynamic_update_slice(out, b, (offset,))
+        offset = offset + ((bits + 31) >> 5)
+
+    meta = jnp.concatenate(
+        [
+            overflow.astype(jnp.int32)[None],
+            jnp.stack(scan_bits),
+            jnp.concatenate(seg_bits_all),
+        ]
+    )
+    return out, meta
+
+
+def _pack_tables_jnp(dc_sizes, dc_codes, ac_sizes, ac_codes):
+    """v2 packed-table layout from the four (T,256) lookup arrays:
+    dc (1, 64) int32 [tab*16 + size], ac (T, 256) int32 [size<<16|code]."""
+    T = dc_sizes.shape[0]
+    assert T <= 4
+    dcp = (dc_sizes[:, :16].astype(jnp.uint32) << 16) | \
+        dc_codes[:, :16].astype(jnp.uint32)
+    dc_packed = jnp.pad(dcp, ((0, 4 - T), (0, 0))).reshape(1, 64)
+    ac_packed = (ac_sizes.astype(jnp.uint32) << 16) | \
+        ac_codes.astype(jnp.uint32)
+    return dc_packed.astype(jnp.int32), ac_packed.astype(jnp.int32)
+
+
+def _finish_scans_v2(buf_words, meta_np, scan_plan, seg_structure):
+    """Host finishing for the v2 packer: per scan, slice the word buffer,
+    big-endian-serialize, then realign/pad/stuff each restart segment."""
+    n_scans = len(scan_plan)
+    scan_bits = meta_np[1 : 1 + n_scans]
+    seg_bits = meta_np[1 + n_scans :]
+    scans = []
+    woff = 0
+    seg_off = 0
+    for i in range(n_scans):
+        bits = int(scan_bits[i])
+        nwords = (bits + 31) >> 5
+        nseg = seg_structure[i]
+        segs = seg_bits[seg_off : seg_off + nseg].astype(np.int64)
+        seg_off += nseg
+        data = buf_words[woff : woff + nwords].astype(">u4").tobytes()
+        woff += nwords
+        stuffed = native.realign_segments(data, segs)
+        if stuffed is None:
+            stuffed = native.realign_segments_py(data, segs.tolist())
+        scans.append(stuffed)
+    return scans
+
+
 def _pack_scans(comp_streams, scan_plan, block_counts, tabs, budget):
     """Pack every scan and assemble one byte buffer on device.
 
@@ -182,6 +278,7 @@ def _build_fused_fn(
     color_type: ColorType,
     config: EncoderConfig,
     budget: int,
+    version: str = "v1",
 ):
     """jit(pixels, dc_sizes, dc_codes, ac_sizes, ac_codes) -> (buf, meta)."""
     from ..kernels.pipeline import _build_coefficients_fn, scan_layout
@@ -194,9 +291,17 @@ def _build_fused_fn(
     # single program.
     coeff_fn, _ = _build_coefficients_fn(width, height, color_type, config, False)
     inner = coeff_fn.raw_fn  # the untraced body
+    interpret = jax.default_backend() != "tpu"
 
     def fn(pixels, dc_sizes, dc_codes, ac_sizes, ac_codes):
         streams = inner(pixels)
+        if version == "v2":
+            dc_p, ac_p = _pack_tables_jnp(
+                dc_sizes, dc_codes, ac_sizes, ac_codes
+            )
+            return _pack_scans_v2(
+                streams, scan_plan, dc_p, ac_p, budget, interpret
+            )
         return _pack_scans(
             streams, scan_plan, None,
             (dc_sizes, dc_codes, ac_sizes, ac_codes), budget,
@@ -221,6 +326,7 @@ def _build_pack_only_fn(
     color_type: ColorType,
     config: EncoderConfig,
     budget: int,
+    version: str = "v1",
 ):
     """Packing stage alone: jit(streams..., tables...) -> (buf, meta).
     Used for the two-pass optimized-table flow where coefficients already
@@ -230,8 +336,16 @@ def _build_pack_only_fn(
     layout = scan_layout(width, height, color_type, config)
     components = layout["components"]
     scan_plan = build_scan_plan(layout, components, config)
+    interpret = jax.default_backend() != "tpu"
 
     def fn(streams, dc_sizes, dc_codes, ac_sizes, ac_codes):
+        if version == "v2":
+            dc_p, ac_p = _pack_tables_jnp(
+                dc_sizes, dc_codes, ac_sizes, ac_codes
+            )
+            return _pack_scans_v2(
+                streams, scan_plan, dc_p, ac_p, budget, interpret
+            )
         return _pack_scans(
             streams, scan_plan, None,
             (dc_sizes, dc_codes, ac_sizes, ac_codes), budget,
@@ -365,6 +479,7 @@ def _build_fused_batch_fn(
     config: EncoderConfig,
     budget: int,
     n_images: int,
+    version: str = "v1",
 ):
     """Whole-batch fused program: (N, H, W, C) pixels -> one packed buffer.
 
@@ -396,9 +511,28 @@ def _build_fused_batch_fn(
     )
     inner = coeff_fn.raw_fn
 
+    interpret = jax.default_backend() != "tpu"
+
     def fn(pixels, dc_sizes, dc_codes, ac_sizes, ac_codes):
         streams = inner(pixels)  # ((N, B_img, 64),)
         blocks = streams[0].reshape(-1, 64)
+        if version == "v2":
+            from .pallas_pack import device_scan_pack
+
+            dc_p, ac_p = _pack_tables_jnp(
+                dc_sizes, dc_codes, ac_sizes, ac_codes
+            )
+            stream, bits, lens, ovf = device_scan_pack(
+                blocks, spec, dc_p, ac_p, budget, interpret=interpret
+            )
+            Btot = blocks.shape[0]
+            n_seg = -(-Btot // seg)
+            padded = jnp.pad(lens[:Btot], (0, n_seg * seg - Btot))
+            seg_bits = padded.reshape(n_seg, seg).sum(axis=1)
+            meta = jnp.concatenate(
+                [ovf.astype(jnp.int32)[None], bits[None], seg_bits]
+            )
+            return stream, meta
         words, bits, seg_bits, ovf = scan_pack(
             blocks, spec, dc_sizes, dc_codes, ac_sizes, ac_codes, budget
         )
@@ -427,7 +561,8 @@ def device_encode_batch_fused(
     # Keep the packing tree's intermediate memory bounded (~1KB/block).
     if n * (width // 8 + 1) * (height // 8 + 1) > 3_000_000:
         return None
-    key = ("batch", width, height, color_type, config, n)
+    version = pack_version()
+    key = ("batch", width, height, color_type, config, n, version)
     tabs = tables_to_device(huffman)
 
     budgets = list(BUDGET_LADDER)
@@ -435,7 +570,7 @@ def device_encode_batch_fused(
         budgets = [b for b in budgets if b >= _budget_memo[key]]
     for budget in budgets:
         built = _build_fused_batch_fn(
-            width, height, color_type, config, budget, n
+            width, height, color_type, config, budget, n, version
         )
         if built is None:
             return None
@@ -445,6 +580,25 @@ def device_encode_batch_fused(
         if meta_np[0]:
             continue
         _budget_memo[key] = budget
+        if version == "v2":
+            total_words = (int(meta_np[1]) + 31) >> 5
+            buf_np = fetch_bytes(buf, total_words)
+            seg_bits = meta_np[2:].astype(np.int64)
+            data = buf_np[:total_words].astype(">u4").tobytes()
+            out = []
+            bit_off = 0
+            for i in range(n):
+                segs = seg_bits[i * segs_per_image : (i + 1) * segs_per_image]
+                stuffed = native.realign_segments(
+                    data, segs, bit_offset=bit_off
+                )
+                if stuffed is None:
+                    stuffed = native.realign_segments_py(
+                        data, segs.tolist(), bit_offset=bit_off
+                    )
+                out.append([stuffed])
+                bit_off += int(segs.sum())
+            return out
         seg_bytes = meta_np[2:] >> 3
         buf_np = fetch_bytes(buf, int(meta_np[1]) >> 3)
         out = []
@@ -478,12 +632,13 @@ def device_encode_batch(
     """
     if config.optimize_huffman_table:
         return None
-    key = (width, height, color_type, config)
+    version = pack_version()
+    key = (width, height, color_type, config, version)
     tabs = tables_to_device(huffman)
     budget = _budget_memo.get(key, BUDGET_LADDER[0])
 
     fn, scan_plan, seg_structure = _build_fused_fn(
-        width, height, color_type, config, budget
+        width, height, color_type, config, budget, version
     )
     n_scans = len(scan_plan)
 
@@ -500,9 +655,18 @@ def device_encode_batch(
             out.append(None)
             retry.append(i)
             continue
-        total = int(np.sum(meta_np[1 : 1 + n_scans]) >> 3)
-        buf_np = fetch_bytes(buf, total)
-        out.append(_finish_scans(buf_np, meta_np, scan_plan, seg_structure))
+        if version == "v2":
+            total = int(np.sum((meta_np[1 : 1 + n_scans] + 31) >> 5))
+            buf_np = fetch_bytes(buf, total)
+            out.append(
+                _finish_scans_v2(buf_np, meta_np, scan_plan, seg_structure)
+            )
+        else:
+            total = int(np.sum(meta_np[1 : 1 + n_scans]) >> 3)
+            buf_np = fetch_bytes(buf, total)
+            out.append(
+                _finish_scans(buf_np, meta_np, scan_plan, seg_structure)
+            )
     _budget_memo.setdefault(key, budget)
 
     for i in retry:
@@ -527,7 +691,8 @@ def device_encode_scans(
     """Encode all scans on device; returns the per-scan entropy byte strings
     (stuffed, with RST markers) in scan order, or None if the device path
     declines (pathological overflow)."""
-    key = (width, height, color_type, config)
+    version = pack_version()
+    key = (width, height, color_type, config, version)
     tabs = tables_to_device(huffman)
 
     budgets = list(BUDGET_LADDER)
@@ -537,12 +702,12 @@ def device_encode_scans(
     for budget in budgets:
         if comp_streams is None:
             fn, scan_plan, seg_structure = _build_fused_fn(
-                width, height, color_type, config, budget
+                width, height, color_type, config, budget, version
             )
             buf, meta = fn(pixels, *tabs)
         else:
             fn, scan_plan, seg_structure = _build_pack_only_fn(
-                width, height, color_type, config, budget
+                width, height, color_type, config, budget, version
             )
             buf, meta = fn(tuple(comp_streams), *tabs)
 
@@ -551,6 +716,10 @@ def device_encode_scans(
             continue
         _budget_memo[key] = budget
         n_scans = len(scan_plan)
+        if version == "v2":
+            total_words = int(np.sum((meta_np[1 : 1 + n_scans] + 31) >> 5))
+            buf_np = fetch_bytes(buf, total_words)
+            return _finish_scans_v2(buf_np, meta_np, scan_plan, seg_structure)
         total_bytes = int(np.sum(meta_np[1 : 1 + n_scans]) >> 3)
         buf_np = fetch_bytes(buf, total_bytes)
         return _finish_scans(buf_np, meta_np, scan_plan, seg_structure)

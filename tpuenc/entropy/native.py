@@ -80,6 +80,7 @@ def _load():
             ctypes.c_int,      # num_threads
             ctypes.c_void_p,   # out
             ctypes.c_longlong, # out capacity
+            ctypes.c_int,      # skip_first (segment 0 = offset, not emitted)
         ]
         lib.tpuenc_encode_scan.restype = ctypes.c_longlong
         lib.tpuenc_encode_scan.argtypes = [
@@ -194,16 +195,19 @@ def stuff_segments(data: bytes, seg_lens) -> Optional[bytes]:
     return out[:n].tobytes()
 
 
-def realign_segments(data: bytes, seg_bits, num_threads: int = 0) -> Optional[bytes]:
+def realign_segments(data: bytes, seg_bits, num_threads: int = 0,
+                     bit_offset: int = 0) -> Optional[bytes]:
     """Assemble a scan from a *bit-granular* device stream: per restart
     segment, shift to byte alignment, 1-pad the tail, 0xFF-stuff and insert
     RST markers.  ``seg_bits`` holds per-segment BIT lengths; segment s
-    starts at bit offset sum(seg_bits[:s]).  Returns None when the native
-    library is unavailable."""
+    starts at bit offset ``bit_offset`` + sum(seg_bits[:s]).  Returns None
+    when the native library is unavailable."""
     lib = _load()
     if lib is None:
         return None
     seg_bits = np.ascontiguousarray(seg_bits, dtype=np.int64)
+    if bit_offset:
+        seg_bits = np.concatenate([[bit_offset], seg_bits])
     buf = np.frombuffer(data, dtype=np.uint8)
     total_bytes = int(seg_bits.sum()) // 8 + len(seg_bits)
     cap = 2 * total_bytes + 2 * len(seg_bits) + 16
@@ -215,16 +219,17 @@ def realign_segments(data: bytes, seg_bits, num_threads: int = 0) -> Optional[by
         num_threads or (os.cpu_count() or 1),
         out.ctypes.data_as(ctypes.c_void_p),
         cap,
+        1 if bit_offset else 0,
     )
     if n < 0:
         return None
     return out[:n].tobytes()
 
 
-def realign_segments_py(data: bytes, seg_bits) -> bytes:
+def realign_segments_py(data: bytes, seg_bits, bit_offset: int = 0) -> bytes:
     """Pure-Python fallback for :func:`realign_segments`."""
     out = bytearray()
-    bit_off = 0
+    bit_off = bit_offset
     for s, nbits in enumerate(seg_bits):
         nbits = int(nbits)
         if s > 0:
