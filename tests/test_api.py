@@ -111,6 +111,32 @@ def test_zero_dimensions():
         Encoder(90).encode(b"", 0, 0, ColorType.LUMA)
 
 
+def test_dimensions_too_large():
+    # The reference types dimensions as u16 (encoder.rs:443-446); beyond
+    # 65535 must be a typed error, not a struct.pack crash in the SOF writer.
+    e = Encoder(90)
+    with pytest.raises(errors.DimensionsTooLarge):
+        e.encode(b"\0" * (65536 * 3), 65536, 1, ColorType.RGB)
+    with pytest.raises(errors.DimensionsTooLarge):
+        e.encode(b"\0" * (70000 * 3), 1, 70000, ColorType.RGB)
+
+
+def test_write_error_typed(tmp_path):
+    # Failing sinks surface as the typed WriteError (error.rs:31-35).
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    enc = Encoder.new_file(tmp_path / "no_such_dir" / "out.jpg", 90)
+    with pytest.raises(errors.WriteError):
+        enc.encode(img.tobytes(), 8, 8, ColorType.RGB)
+
+    class BrokenSink:
+        def write(self, data):
+            raise OSError("disk full")
+
+    enc = Encoder.new_writer(BrokenSink(), 90)
+    with pytest.raises(errors.WriteError):
+        enc.encode(img.tobytes(), 8, 8, ColorType.RGB)
+
+
 def test_component_table_mapping():
     # encoder.rs:569-619 mapping quirks.
     ycbcr = init_components(JpegColorType.YCBCR, SamplingFactor.F_2_2)

@@ -20,6 +20,7 @@ from .api import Encoder, ImageBuffer
 from .core.errors import (
     AppSegmentTooLarge,
     BadImageData,
+    DimensionsTooLarge,
     EncodingError,
     IccTooLarge,
     InvalidAppSegment,
@@ -81,6 +82,7 @@ __all__ = [
     "AppSegmentTooLarge",
     "IccTooLarge",
     "BadImageData",
+    "DimensionsTooLarge",
     "ZeroImageDimensions",
     "WriteError",
     "QuantizationTableType",

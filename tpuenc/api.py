@@ -44,6 +44,15 @@ from .kernels.pipeline import coefficients_fn
 __all__ = ["Encoder", "ImageBuffer"]
 
 
+def _check_dims(width: int, height: int) -> None:
+    """Reference dimension domain: non-zero (encoder.rs:521-526) and
+    within the u16 range its API types enforce (encoder.rs:443-446)."""
+    if width == 0 or height == 0:
+        raise errors.ZeroImageDimensions(width, height)
+    if width > 65535 or height > 65535:
+        raise errors.DimensionsTooLarge(width, height)
+
+
 class ImageBuffer(abc.ABC):
     """User-extensible pixel source (reference image_buffer.rs:86-98).
 
@@ -206,8 +215,7 @@ class Encoder:
         required = width * height * bpp
         if flat.size < required:
             raise errors.BadImageData(flat.size, required)
-        if width == 0 or height == 0:
-            raise errors.ZeroImageDimensions(width, height)
+        _check_dims(width, height)
 
         pixels = flat[:required].reshape(height, width, bpp)
         if bpp == 1:
@@ -218,8 +226,7 @@ class Encoder:
         """Encode a user-supplied :class:`ImageBuffer`
         (reference encoder.rs:506-515)."""
         width, height = image.width(), image.height()
-        if width == 0 or height == 0:
-            raise errors.ZeroImageDimensions(width, height)
+        _check_dims(width, height)
         jct = image.get_jpeg_color_type()
         planes = image.to_planes()
         # Pack planes into an interleaved array and reuse the passthrough
@@ -273,8 +280,7 @@ class Encoder:
             if bpp == 1:
                 px = px[..., 0]
             pixel_arrays.append(px)
-        if width == 0 or height == 0:
-            raise errors.ZeroImageDimensions(width, height)
+        _check_dims(width, height)
 
         config = self._config()
         jct = color_type.jpeg_color_type
@@ -331,11 +337,14 @@ class Encoder:
         ]
 
     def _finish(self, payload: bytes) -> bytes:
-        if self._path is not None:
-            with open(self._path, "wb") as f:
-                f.write(payload)
-        if self._writer is not None:
-            self._writer.write(payload)
+        try:
+            if self._path is not None:
+                with open(self._path, "wb") as f:
+                    f.write(payload)
+            if self._writer is not None:
+                self._writer.write(payload)
+        except OSError as e:
+            raise errors.WriteError(str(e)) from e
         return payload
 
     def _encode_pixels(

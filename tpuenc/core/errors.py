@@ -62,5 +62,21 @@ class ZeroImageDimensions(EncodingError):
         super().__init__(f"Image dimensions must be non zero: {width}x{height}")
 
 
+class DimensionsTooLarge(EncodingError):
+    """Width or height exceeds the JPEG maximum of 65535.
+
+    The reference cannot express this state (dimensions are typed ``u16``,
+    ``encoder.rs:443-446``); here it is a runtime check so the SOF writer
+    never emits truncated fields."""
+
+    def __init__(self, width: int, height: int):
+        self.width = width
+        self.height = height
+        super().__init__(
+            f"Image dimensions exceed JPEG maximum of 65535: {width}x{height}"
+        )
+
+
 class WriteError(EncodingError):
-    """An io error occurred during writing."""
+    """An io error occurred during writing (reference error.rs:31-35 maps
+    ``std::io::Error`` into the typed surface the same way)."""
