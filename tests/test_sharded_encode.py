@@ -69,6 +69,63 @@ def test_sharded_batch_axis():
 
 
 @needs_devices
+def test_sharded_optimized_batch_gt_one_per_device():
+    """Per-image device histograms: with >1 image per device the DC chains
+    must NOT leak across images (regression for the cross-image chaining
+    bug in the round-1 psum path)."""
+    mesh = make_mesh(8, batch=2)
+    w, h = 32, 16 * 4
+    # Wildly different DC levels per image so cross-image chaining would
+    # visibly skew the DC histograms and change the optimized tables.
+    imgs = []
+    for i in range(4):
+        base = np.full((h, w, 3), 32 + 60 * i, np.uint8)
+        imgs.append(base + _img(w, h, seed=i) // 8)
+    enc = ShardedEncoder(85, mesh)
+    enc.set_optimized_huffman_tables(True)
+    outs = enc.encode_batch_sharded(imgs, w, h, ColorType.RGB)
+    for im, out in zip(imgs, outs):
+        ref = Encoder(85)
+        ref.set_optimized_huffman_tables(True)
+        assert out == ref.encode(im, w, h, ColorType.RGB)
+
+
+@needs_devices
+def test_sharded_optimized_uneven_stripes():
+    """Stripe-alignment padding rows must not contribute histogram symbols."""
+    mesh = make_mesh(8, batch=1)
+    w, h = 32, 16 * 11  # 11 MCU rows over 8 stripes -> last stripe padded
+    img = _img(w, h, seed=5)
+
+    def setup(e):
+        e.set_optimized_huffman_tables(True)
+
+    out = sharded_encode(img, w, h, ColorType.RGB, mesh, quality=85,
+                         configure=setup)
+    ref = Encoder(85)
+    setup(ref)
+    assert out == ref.encode(img, w, h, ColorType.RGB)
+
+
+@needs_devices
+def test_sharded_optimized_progressive():
+    mesh = make_mesh(8, batch=1)
+    w, h = 48, 16 * 8
+    img = _img(w, h, seed=6)
+
+    def setup(e):
+        e.set_progressive_scans(3)
+        e.set_optimized_huffman_tables(True)
+
+    enc = ShardedEncoder(90, mesh)
+    setup(enc)
+    out = enc.encode(img, w, h, ColorType.RGB)
+    ref = Encoder(90)
+    setup(ref)
+    assert out == ref.encode(img, w, h, ColorType.RGB)
+
+
+@needs_devices
 def test_sharded_rejects_unaligned():
     mesh = make_mesh(8, batch=1)
     img = _img(30, 130)

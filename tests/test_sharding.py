@@ -86,8 +86,9 @@ def test_stripe_histograms_psum():
     for (hdc, hac), (ddc, dac) in zip(host, hists):
         # Device path seeds freq[256] later; DC chain is boundary-exact via
         # ppermute, so bins 0..255 must match the serial host histogram.
-        np.testing.assert_array_equal(hdc[:256], np.asarray(ddc)[:256])
-        np.testing.assert_array_equal(hac[:256], np.asarray(dac)[:256])
+        # Histograms are per-image: (B, 257).
+        np.testing.assert_array_equal(hdc[:256], np.asarray(ddc)[0, :256])
+        np.testing.assert_array_equal(hac[:256], np.asarray(dac)[0, :256])
 
 
 @needs_devices

@@ -55,9 +55,17 @@ def jax_cummax(x):
     return lax.cummax(x, axis=1)
 
 
-def ac_histogram(blocks, start: int, end: int):
-    """257-bin AC symbol histogram of one spectral band (device)."""
+def ac_histogram(blocks, start: int, end: int, valid=None):
+    """257-bin AC symbol histogram of one spectral band (device).
+
+    ``valid`` is an optional (N,) bool mask: blocks outside it contribute
+    nothing — used by the striped path to exclude stripe-alignment padding
+    rows from the table statistics."""
     nz, zrl, sym, _, eob = ac_stats(blocks, start, end)
+    if valid is not None:
+        nz = nz & valid[:, None]
+        zrl = jnp.where(valid[:, None], zrl, 0)
+        eob = eob & valid
     hist = jnp.zeros(257, dtype=jnp.int32)
     sym_or_pad = jnp.where(nz, sym, 256)  # route zeros into the unused bin
     hist = hist.at[sym_or_pad.reshape(-1)].add(1)

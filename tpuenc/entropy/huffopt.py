@@ -110,3 +110,22 @@ def optimize_tables(
         (optimized_huffman_table(dc), optimized_huffman_table(ac))
         for dc, ac in build_histograms(comp_blocks, components, progressive_scans)
     ]
+
+
+def tables_from_histograms(
+    hist_pairs: Sequence[Tuple[np.ndarray, np.ndarray]],
+) -> List[Tuple[HuffmanTable, HuffmanTable]]:
+    """K.2 table build from externally-computed (dc, ac) histograms — the
+    consumer of the device psum path (``shard.stripes``): per-shard
+    histograms are psum-reduced on device, only 2x2x257 counts reach the
+    host, and the (tiny, serial) Annex K.2 build runs here.  Seeds the
+    reserved symbol 256 with frequency 1 (encoder.rs:1092-1095) exactly
+    once, after the reduction."""
+    out = []
+    for dc, ac in hist_pairs:
+        dcf = np.asarray(dc, dtype=np.int64).copy()
+        acf = np.asarray(ac, dtype=np.int64).copy()
+        dcf[256] = 1
+        acf[256] = 1
+        out.append((optimized_huffman_table(dcf), optimized_huffman_table(acf)))
+    return out

@@ -158,7 +158,7 @@ class ShardedEncoder(Encoder):
         from ..core import errors
         from ..core.tables import default_tables, quantization_table
         from ..core.types import JpegColorType, init_components
-        from ..entropy.huffopt import optimize_tables
+        from ..entropy.huffopt import tables_from_histograms
         from ..jfif import markers, segments
 
         color_type = ColorType(color_type)
@@ -189,12 +189,23 @@ class ShardedEncoder(Encoder):
                 f"batch {pixels.shape[0]} not divisible by mesh batch axis {n_b}"
             )
 
+        # Two-pass optimized tables use the on-device psum histograms
+        # (stripes.py): per-shard counts are reduced over the stripe axis
+        # on device; only (B, 2, 2, 257) counts reach the host for the
+        # tiny serial K.2 build.
+        want_hists = bool(config.optimize_huffman_table)
         fn, geo = stripe_encode_step(
             width, height, color_type, config, self._mesh,
-            with_histograms=False,
+            with_histograms=want_hists,
         )
         padded = pad_for_stripes(pixels, geo)
-        streams = fn(padded)
+        if want_hists:
+            streams, hists = fn(padded)
+            hists_np = [
+                (np.asarray(dc), np.asarray(ac)) for dc, ac in hists
+            ]
+        else:
+            streams = fn(padded)
 
         # The striped path requires component block grids to coincide with
         # the stripe grids, i.e. width/height multiples of the MCU size
@@ -232,9 +243,9 @@ class ShardedEncoder(Encoder):
                 s[i][:n] for s, n in zip(np_streams, real_counts)
             ]
             huffman = [list(pair) for pair in default_tables()]
-            if config.optimize_huffman_table and config.mode() != "interleaved":
-                optimized = optimize_tables(
-                    comp_blocks, components, config.progressive_scans
+            if want_hists:
+                optimized = tables_from_histograms(
+                    [(dc[i], ac[i]) for dc, ac in hists_np]
                 )
                 for t, pair in enumerate(optimized):
                     huffman[t] = list(pair)

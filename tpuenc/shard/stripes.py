@@ -131,26 +131,38 @@ def _build_stripe_fn(
         if not with_histograms:
             return coeff
 
-        # Per-stripe histograms; DC chains are made boundary-exact by
-        # shifting each stripe's last DC to its right neighbor via
-        # ppermute before differencing.
+        # Per-stripe, PER-IMAGE histograms; DC chains are made
+        # boundary-exact by shifting each image's last stripe-local DC to
+        # its right neighbor via ppermute before differencing.  Keeping the
+        # local batch axis separate matches the serial semantics (the host
+        # histograms one image at a time — chaining DC differentials across
+        # images would skew the table statistics).
         comp_streams = coeff if not interleaved else tuple(
             qz.reshape(*qz.shape[:-3], -1, 64) for qz in out
         )
+        # Stripe-alignment padding MCU rows (global tail only) must not
+        # contribute symbols: the serial encoder never sees them.
+        stripe_idx = jax.lax.axis_index("stripe")
+        num_rows = geo["num_rows"]
         fixed = []
-        n = n_stripes
-        perm = [(i, i + 1) for i in range(n - 1)]
-        for stream in comp_streams:
-            flat = stream.reshape(-1, 64)
-            last_dc = flat[-1, 0].astype(jnp.int32)
+        perm = [(i, i + 1) for i in range(n_stripes - 1)]
+        for comp, stream in zip(components, comp_streams):
+            n_blocks = stream.shape[-2]
+            per_mcu_row = n_blocks // rows_local
+            mcu_row = (
+                jnp.arange(n_blocks, dtype=jnp.int32) // per_mcu_row
+            )
+            valid = (stripe_idx * rows_local + mcu_row) < num_rows
+            # (B_local, blocks, 64)
+            last_dc = stream[:, -1, 0].astype(jnp.int32)   # (B_local,)
             prev0 = jax.lax.ppermute(last_dc, "stripe", perm)
-            # Emulate the serial chain: subtract prev0 from the first
-            # block's diff by adjusting a copy of the stream's DC lane.
-            fixed.append((flat, prev0))
+            fixed.append((stream, prev0, valid))
 
         hists = _histograms_with_boundary(fixed, components, config)
+        # Reduce over stripes only: histograms stay per-image so the host
+        # builds each image's own optimized tables (reference semantics).
         hists = jax.tree.map(
-            lambda h: jax.lax.psum(h, ("batch", "stripe")), hists
+            lambda h: jax.lax.psum(h, "stripe"), hists
         )
         return coeff, hists
 
@@ -161,20 +173,27 @@ def _build_stripe_fn(
         max_tables = min(len(components), 2)
         out = []
         for table in range(max_tables):
-            dc = jnp.zeros(257, dtype=jnp.int32)
-            ac = jnp.zeros(257, dtype=jnp.int32)
-            for comp, (flat, prev0) in zip(components, fixed):
+            b_local = fixed[0][0].shape[0]
+            dc = jnp.zeros((b_local, 257), dtype=jnp.int32)
+            ac = jnp.zeros((b_local, 257), dtype=jnp.int32)
+            bidx = jnp.arange(b_local, dtype=jnp.int32)[:, None]
+            ac_hist_b = jax.vmap(ac_histogram, in_axes=(0, None, None, None))
+            for comp, (stream, prev0, valid) in zip(components, fixed):
                 if comp.dc_huffman_table == table:
-                    dcv = flat[:, 0].astype(jnp.int32)
-                    prev = jnp.concatenate([prev0[None], dcv[:-1]])
+                    dcv = stream[:, :, 0].astype(jnp.int32)
+                    prev = jnp.concatenate(
+                        [prev0[:, None], dcv[:, :-1]], axis=1
+                    )
                     sizes = bit_length(dcv - prev)
-                    dc = dc.at[sizes].add(1)
+                    dc = dc.at[bidx, sizes].add(
+                        valid[None, :].astype(jnp.int32)
+                    )
                 if comp.ac_huffman_table == table:
                     if config.progressive_scans is not None:
                         for s, e in progressive_bands(config.progressive_scans):
-                            ac = ac + ac_histogram(flat, s, e)
+                            ac = ac + ac_hist_b(stream, s, e, valid)
                     else:
-                        ac = ac + ac_histogram(flat, 1, 64)
+                        ac = ac + ac_hist_b(stream, 1, 64, valid)
             out.append((dc, ac))
         return tuple(out)
 
@@ -186,9 +205,10 @@ def _build_stripe_fn(
     if with_histograms:
         ncomp = len(components)
         n_streams = 1 if interleaved else ncomp
+        hist_spec = P("batch", None)  # per-image (B, 257) histograms
         out_specs = (
             tuple([coeff_spec] * n_streams),
-            tuple([(P(None), P(None))] * min(ncomp, 2)),
+            tuple([(hist_spec, hist_spec)] * min(ncomp, 2)),
         )
     else:
         n_streams = 1 if interleaved else len(components)
