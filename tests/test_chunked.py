@@ -1,0 +1,123 @@
+"""Bounded-memory chunked encode must be byte-identical to the one-shot
+paths: the MCU-row chunk stream (mid-stream DC chains, global restart
+geometry, host bit-concatenation) reproduces the exact scan payload."""
+
+import numpy as np
+import pytest
+
+from tpuenc import ColorType, Encoder, SamplingFactor
+from tpuenc.entropy.chunked import append_bits, encode_interleaved_chunked
+
+
+def _scan_payload(jpeg: bytes) -> bytes:
+    """Entropy payload of a single-scan file: after the SOS header, before
+    EOI."""
+    i = jpeg.find(b"\xff\xda")
+    assert i >= 0
+    seg_len = (jpeg[i + 2] << 8) | jpeg[i + 3]
+    start = i + 2 + seg_len
+    assert jpeg[-2:] == b"\xff\xd9"
+    return jpeg[start:-2]
+
+
+def test_append_bits_random():
+    rng = np.random.default_rng(0)
+    ref_bits = []
+    dst = bytearray()
+    bits = 0
+    for _ in range(40):
+        n = int(rng.integers(1, 77))
+        chunk = rng.integers(0, 2, n).tolist()
+        ref_bits += chunk
+        by = np.zeros((n + 7) // 8, np.uint8)
+        for j, b in enumerate(chunk):
+            by[j >> 3] |= b << (7 - (j & 7))
+        bits = append_bits(dst, bits, by, n)
+    assert bits == len(ref_bits)
+    got = []
+    for j in range(bits):
+        got.append((dst[j >> 3] >> (7 - (j & 7))) & 1)
+    assert got == ref_bits
+
+
+@pytest.mark.parametrize(
+    "name,setup",
+    [
+        ("plain", lambda e: None),
+        ("restart_unaligned", lambda e: e.set_restart_interval(5)),
+        ("restart_420", lambda e: (
+            e.set_sampling_factor(SamplingFactor.F_2_2),
+            e.set_restart_interval(3),
+        )),
+    ],
+)
+def test_chunked_matches_single(name, setup, monkeypatch):
+    monkeypatch.setenv("TPUENC_DEVICE_ENTROPY", "0")  # host oracle reference
+    rng = np.random.default_rng(11)
+    w, h = 70, 150  # many MCU rows; partial trailing MCU in both dims
+    img = rng.integers(0, 256, (h, w, 3), np.uint8)
+
+    enc = Encoder(85)
+    setup(enc)
+    whole = enc.encode(img.tobytes(), w, h, ColorType.RGB)
+    want = _scan_payload(whole)
+
+    config = enc._config()
+    from tpuenc.core.tables import default_tables
+
+    huffman = [list(p) for p in default_tables()]
+    # Tiny chunks (2 MCU rows) force many mid-stream chunk boundaries that
+    # do not coincide with restart segments.
+    got = encode_interleaved_chunked(
+        img, w, h, ColorType.RGB, config, huffman, chunk_mcu_rows=2
+    )
+    assert got == want
+
+
+def test_chunked_product_path(monkeypatch):
+    """Above DEVICE_BLOCK_LIMIT, interleaved encode() streams through the
+    chunked device path and stays byte-identical to the host oracle."""
+    import tpuenc.api as api
+
+    rng = np.random.default_rng(9)
+    w, h = 64, 120
+    img = rng.integers(0, 256, (h, w, 3), np.uint8)
+
+    monkeypatch.setenv("TPUENC_DEVICE_ENTROPY", "0")
+    enc = Encoder(85)
+    enc.set_restart_interval(7)
+    want = enc.encode(img.tobytes(), w, h, ColorType.RGB)
+    assert enc.last_encode_path == "host"
+
+    monkeypatch.setenv("TPUENC_DEVICE_ENTROPY", "strict")
+    monkeypatch.setattr(api, "DEVICE_BLOCK_LIMIT", 10)  # force chunking
+    enc2 = Encoder(85)
+    enc2.set_restart_interval(7)
+    got = enc2.encode(img.tobytes(), w, h, ColorType.RGB)
+    assert got == want
+    assert enc2.last_encode_path == "device-chunked"
+
+
+def test_chunked_luma_and_cmyk(monkeypatch):
+    monkeypatch.setenv("TPUENC_DEVICE_ENTROPY", "0")
+    rng = np.random.default_rng(3)
+    from tpuenc.core.tables import default_tables
+
+    w, h = 40, 90
+    gray = rng.integers(0, 256, (h, w), np.uint8)
+    enc = Encoder(90)
+    want = _scan_payload(enc.encode(gray.tobytes(), w, h, ColorType.LUMA))
+    got = encode_interleaved_chunked(
+        gray, w, h, ColorType.LUMA, enc._config(),
+        [list(p) for p in default_tables()], chunk_mcu_rows=3,
+    )
+    assert got == want
+
+    cmyk = rng.integers(0, 256, (h, w, 4), np.uint8)
+    enc = Encoder(90)
+    want = _scan_payload(enc.encode(cmyk.tobytes(), w, h, ColorType.CMYK))
+    got = encode_interleaved_chunked(
+        cmyk, w, h, ColorType.CMYK, enc._config(),
+        [list(p) for p in default_tables()], chunk_mcu_rows=4,
+    )
+    assert got == want

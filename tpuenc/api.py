@@ -41,7 +41,23 @@ from .entropy.huffopt import optimize_tables, progressive_bands
 from .jfif import markers, segments
 from .kernels.pipeline import coefficients_fn
 
-__all__ = ["Encoder", "ImageBuffer"]
+__all__ = ["Encoder", "ImageBuffer", "FALLBACK_COUNTS"]
+
+import logging
+
+_log = logging.getLogger("tpuenc")
+
+# Observability for the device->host fallback boundary: "host" counts
+# encodes that landed on the host packer (declines), "error" counts
+# device-path exceptions swallowed by the non-strict fallback.  A perf
+# regression that silently shifts work to the host shows up here; the
+# bench asserts which path ran via ``Encoder.last_encode_path``.
+FALLBACK_COUNTS = {"host": 0, "error": 0}
+
+# Above this many blocks the whole-image device packer's intermediates
+# (~1KB/block) stop fitting; interleaved encodes switch to the chunked
+# streaming path (entropy.chunked), others fall back to the host packer.
+DEVICE_BLOCK_LIMIT = 3_000_000
 
 
 def _check_dims(width: int, height: int) -> None:
@@ -99,6 +115,10 @@ class Encoder:
         self._app_segments: List[Tuple[int, bytes]] = []
         self._path = _path
         self._writer = _writer
+        # Which entropy path produced the last encode() output:
+        # "device-v2" / "device-v1" / "device-chunked" / "device-batch" /
+        # "host" / None.
+        self.last_encode_path: Optional[str] = None
 
     @classmethod
     def new_file(cls, path, quality: int) -> "Encoder":
@@ -315,13 +335,18 @@ class Encoder:
                         pixel_arrays, width, height, color_type, config,
                         huffman,
                     )
-            except Exception:
+            except Exception as e:
                 if os.environ.get("TPUENC_DEVICE_ENTROPY") == "strict":
                     raise
+                FALLBACK_COUNTS["error"] += 1
+                _log.warning(
+                    "device batch path failed; falling back: %r", e
+                )
                 batch_scans = None
 
         results = []
         if batch_scans is not None:
+            self.last_encode_path = "device-batch"
             for scans in batch_scans:
                 body = self._assemble_scans(
                     scans, width, height, color_type, config, components,
@@ -375,6 +400,8 @@ class Encoder:
             q_tables, huffman,
         )
         if body is None:
+            FALLBACK_COUNTS["host"] += 1
+            self.last_encode_path = "host"
             body = self._encode_body_host(
                 pixels, width, height, color_type, config, components,
                 q_tables, huffman,
@@ -406,10 +433,34 @@ class Encoder:
                 if config.progressive_scans is not None:
                     plan_len = ncomp + (config.progressive_scans - 1) * ncomp
             if plan_len > 48:
+                _log.info("device entropy declined: %d scans", plan_len)
                 return None  # giant progressive scan counts: host path
-            # Very large block counts would blow the packing tree's
-            # intermediate memory (~1KB/block); stay on the host path.
-            if (width // 8 + 1) * (height // 8 + 1) > 3_000_000:
+            # Very large block counts would blow the whole-image packing
+            # tree's intermediate memory (~1KB/block): stream MCU-row
+            # chunks through the device packer instead (bounded memory,
+            # reference streaming model encoder.rs:699-807).
+            if (width // 8 + 1) * (height // 8 + 1) > DEVICE_BLOCK_LIMIT:
+                if (
+                    config.mode() == "interleaved"
+                    and not config.optimize_huffman_table
+                ):
+                    from .entropy.chunked import encode_interleaved_chunked
+
+                    scan = encode_interleaved_chunked(
+                        pixels, width, height, color_type, config, huffman
+                    )
+                    if scan is None:
+                        _log.info("chunked device path overflowed budgets")
+                        return None
+                    self.last_encode_path = "device-chunked"
+                    return self._assemble_scans(
+                        [scan], width, height, color_type, config,
+                        components, q_tables, huffman,
+                    )
+                _log.info(
+                    "device entropy declined: %d blocks in %s mode",
+                    (width // 8 + 1) * (height // 8 + 1), config.mode(),
+                )
                 return None
 
             if config.optimize_huffman_table:
@@ -439,14 +490,20 @@ class Encoder:
                     pixels, width, height, color_type, config, huffman
                 )
             if scans is None:
+                _log.info("device entropy declined: budget overflow")
                 return None
+            self.last_encode_path = f"device-{de.pack_version()}"
             return self._assemble_scans(
                 scans, width, height, color_type, config, components,
                 q_tables, huffman,
             )
-        except Exception:
+        except Exception as e:
             if strict:
                 raise
+            FALLBACK_COUNTS["error"] += 1
+            _log.warning(
+                "device entropy path failed; falling back to host: %r", e
+            )
             return None
 
     def _assemble_scans(

@@ -459,9 +459,16 @@ def _build_pack_blocks_fn(
 # XLA-side orchestration: DC diffs, kernel, cross-block tree.
 # ---------------------------------------------------------------------------
 
-def dc_diffs_for_spec(blocks, spec: ScanSpec):
+def dc_diffs_for_spec(blocks, spec: ScanSpec, prev_tail=None,
+                      global_offset=None):
     """(B,) int32 DC differentials with same-component predecessors and
-    per-segment predictor resets (reference encoder.rs:748-757)."""
+    per-segment predictor resets (reference encoder.rs:748-757).
+
+    Mid-stream form (chunked / striped packing): ``prev_tail`` holds the
+    DC values of the ``len(dc_tab_pattern)`` blocks immediately before
+    this chunk in the global stream, and ``global_offset`` (traced
+    scalar, a multiple of the pattern length) is the chunk's first global
+    block index, fixing restart geometry and predictor resets."""
     B = blocks.shape[0]
     dc = blocks[:, 0].astype(jnp.int32)
     pat = len(spec.dc_tab_pattern)
@@ -470,12 +477,29 @@ def dc_diffs_for_spec(blocks, spec: ScanSpec):
     delta = jnp.full((B,), int(spec.dc_prev_delta[0]), jnp.int32)
     for p in range(1, pat):
         delta = jnp.where(pos_in_pat == p, int(spec.dc_prev_delta[p]), delta)
+
+    if prev_tail is None:
+        prev = jnp.zeros((B,), jnp.int32)
+        for d in sorted(set(spec.dc_prev_delta)):
+            rolled = jnp.roll(dc, d)
+            prev = jnp.where(delta == d, rolled, prev)
+        seg = spec.seg_blocks if spec.seg_blocks > 0 else B
+        in_seg = (bidx % seg) >= delta
+        prev = jnp.where(in_seg, prev, 0)
+        return dc - prev
+
+    # Mid-stream: predecessors may live in the previous chunk's tail.
+    ext = jnp.concatenate([prev_tail.astype(jnp.int32), dc])
     prev = jnp.zeros((B,), jnp.int32)
     for d in sorted(set(spec.dc_prev_delta)):
-        rolled = jnp.roll(dc, d)
-        prev = jnp.where(delta == d, rolled, prev)
-    seg = spec.seg_blocks if spec.seg_blocks > 0 else B
-    in_seg = (bidx % seg) >= delta
+        prev = jnp.where(delta == d, jax.lax.dynamic_slice_in_dim(
+            ext, pat - d, B
+        ), prev)
+    gidx = bidx + global_offset
+    if spec.seg_blocks > 0:
+        in_seg = (gidx % spec.seg_blocks) >= delta
+    else:
+        in_seg = gidx >= delta
     prev = jnp.where(in_seg, prev, 0)
     return dc - prev
 
@@ -509,19 +533,25 @@ def scan_pack_blocks(
     *,
     tile: int = 256,
     interpret: bool = False,
+    dcdiff=None,
 ):
     """Pack one scan: (B, 64) int blocks -> per-block bitstrings + lens.
 
     Returns (words (Bp, capB) u32, lens (Bp,) i32, overflow).  Bp is B
-    rounded up to the tile size; padding blocks have len 0.
+    rounded up to the tile size; padding blocks have len 0.  ``dcdiff``
+    overrides the internally-computed DC differentials (mid-stream
+    chunk/stripe packing, see :func:`dc_diffs_for_spec`).
     """
     B = blocks.shape[0]
     n_tiles = -(-B // tile)
     Bp = n_tiles * tile
     q = blocks.astype(jnp.int32)
-    dcdiff = dc_diffs_for_spec(q, spec) if spec.emit_dc else jnp.zeros(
-        (B,), jnp.int32
-    )
+    if dcdiff is None:
+        dcdiff = dc_diffs_for_spec(q, spec) if spec.emit_dc else jnp.zeros(
+            (B,), jnp.int32
+        )
+    else:
+        dcdiff = dcdiff.astype(jnp.int32)
     if Bp != B:
         q = jnp.pad(q, ((0, Bp - B), (0, 0)))
         dcdiff = jnp.pad(dcdiff, (0, Bp - B))
@@ -731,6 +761,8 @@ def device_scan_pack(
     n_sub: int = 128,
     chunk: int = 256,
     interpret: bool = False,
+    dcdiff=None,
+    valid_blocks=None,
 ):
     """Full device pack: (B, 64) blocks -> (stream_words, total_bits,
     block_bits (B,), overflow), entirely in three Pallas stages.
@@ -738,13 +770,22 @@ def device_scan_pack(
     The stream is a raw bit concatenation of per-block codes (no segment
     alignment); callers derive per-segment bit lengths from ``block_bits``
     and finish on the host with ``native.realign_segments``.
+
+    Mid-stream form: ``dcdiff`` supplies externally-computed DC
+    differentials; ``valid_blocks`` (traced scalar) masks a trailing run
+    of alignment-padding blocks so they contribute no bits (used by the
+    striped path whose last stripe carries padding MCU rows).
     """
     B = blocks.shape[0]
     words, lens, ovf1 = scan_pack_blocks(
         blocks, spec, dc_packed, ac_packed, budget,
-        tile=tile, interpret=interpret,
+        tile=tile, interpret=interpret, dcdiff=dcdiff,
     )
     Bp, capB = words.shape
+    if valid_blocks is not None:
+        valid = jnp.arange(Bp, dtype=jnp.int32) < valid_blocks
+        lens = jnp.where(valid, lens, 0)
+        words = jnp.where(valid[:, None], words, jnp.uint32(0))
 
     n1 = -(-Bp // n_sub)
     n1p = -(-n1 // chunk) * chunk
