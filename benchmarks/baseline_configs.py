@@ -110,37 +110,64 @@ def config5(size=4096):
     print(f"config5 {size}x{size} YCCK: {w*h/1e6/dt:.1f} MP/s ({len(out)} B)")
 
 
+_SCALE_CHILD = r"""
+import sys, time
+import numpy as np
+import jax
+n = int(sys.argv[1])
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", n)
+from tpuenc import ColorType, SamplingFactor
+from tpuenc.shard.encode import ShardedEncoder
+from tpuenc.shard.mesh import make_mesh
+w, h = 2048, 2048
+rng = np.random.default_rng(0)
+img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+enc = ShardedEncoder(90, make_mesh(n, batch=1))
+enc.set_sampling_factor(SamplingFactor.F_2_2)
+enc.set_restart_interval(128)  # divides the stripe MCU count for n in 1..8
+out = enc.encode_batch_packed([img], w, h, ColorType.RGB)
+assert out is not None, "packed path declined"
+t0 = time.perf_counter()
+reps = 3
+for _ in range(reps):
+    enc.encode_batch_packed([img], w, h, ColorType.RGB)
+print("TIME", (time.perf_counter() - t0) / reps)
+"""
+
+
 def scale_test():
-    """Striped-mesh scaling efficiency on an 8-device virtual CPU mesh
-    (relative: 1 stripe vs 8 stripes of the coefficient+histogram step)."""
-    import jax
+    """Striped-mesh scaling efficiency: the FULL sharded encode
+    (coefficients + on-device entropy pack + host segment assembly) via
+    ``encode_batch_packed`` at 1 vs N stripes.
 
-    jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_num_cpu_devices", 8)
+    Virtual CPU devices share the host's cores, so a naive 1-vs-N wall
+    clock compares one device with all cores against N devices with a
+    fraction each.  For a fair per-chip proxy each configuration runs in
+    a subprocess pinned with taskset to one core per virtual device
+    (N = number of physical cores); real ICI-connected chips have
+    dedicated compute just like this.
+    """
+    import os
+    import subprocess
 
-    from tpuenc.core.types import ColorType, EncoderConfig, SamplingFactor
-    from tpuenc.shard.mesh import make_mesh
-    from tpuenc.shard.stripes import pad_for_stripes, stripe_encode_step
-
-    w, h = 2048, 2048
-    config = EncoderConfig(quality=90, sampling_factor=SamplingFactor.F_2_2)
-    rng = np.random.default_rng(0)
-    img = rng.integers(0, 256, (1, h, w, 3), dtype=np.uint8)
-
+    ncores = min(os.cpu_count() or 1, 8)
     results = {}
-    for n in (1, 8):
-        mesh = make_mesh(n, batch=1) if n > 1 else make_mesh(1, batch=1)
-        fn, geo = stripe_encode_step(w, h, ColorType.RGB, config, mesh)
-        px = pad_for_stripes(img, geo)
-        out = fn(px)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(3):
-            jax.block_until_ready(fn(px))
-        results[n] = (time.perf_counter() - t0) / 3
-        print(f"stripes={n}: {results[n]*1000:.1f} ms")
-    eff = results[1] / (results[8] * 8)
-    print(f"scaling efficiency 1->8: {eff:.2f}")
+    for n, cores in ((1, "0"), (ncores, f"0-{ncores-1}")):
+        cmd = ["taskset", "-c", cores, sys.executable, "-c",
+               _SCALE_CHILD, str(n)]
+        out = subprocess.run(
+            cmd, capture_output=True, text=True, cwd=os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__)))
+        )
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("TIME")]
+        assert line, f"scale child failed (n={n}):\n{out.stderr[-2000:]}"
+        results[n] = float(line[0].split()[1])
+        print(f"stripes={n} ({cores.replace('-', '..')} cores): "
+              f"{results[n]*1000:.1f} ms e2e")
+    eff = results[1] / (results[ncores] * ncores)
+    print(f"end-to-end scaling efficiency 1->{ncores} "
+          f"(1 core/device): {eff:.2f}")
 
 
 if __name__ == "__main__":

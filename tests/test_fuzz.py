@@ -89,6 +89,144 @@ if HAVE_HYPOTHESIS:
             w, h, quality, ct, factor, progressive, optimized, restart, seed
         )
 
+if HAVE_HYPOTHESIS:
+
+    @settings(
+        max_examples=int(os.environ.get("TPUENC_FUZZ_EXAMPLES", "15")),
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        w=st.integers(1, 24),
+        h=st.integers(1, 24),
+        quality=st.integers(1, 100),
+        ct=st.sampled_from([ColorType.LUMA, ColorType.RGB, ColorType.CMYK]),
+        factor=st.sampled_from(FACTORS[:4]),
+        progressive=st.booleans(),
+        optimized=st.booleans(),
+        restart=st.sampled_from([0, 3]),
+        seed=st.integers(0, 2**31),
+    )
+    def test_fuzz_device_entropy_parity(
+        w, h, quality, ct, factor, progressive, optimized, restart, seed
+    ):
+        """Device entropy path fuzz: strict (no silent host fallback) and
+        byte-identical to the host packer on the same inputs."""
+        rng = np.random.default_rng(seed)
+        data = rng.integers(
+            0, 256, size=w * h * ct.bytes_per_pixel, dtype=np.uint8
+        ).tobytes()
+
+        def run():
+            enc = Encoder(quality)
+            enc.set_sampling_factor(factor)
+            if progressive:
+                enc.set_progressive(True)
+            if optimized:
+                enc.set_optimized_huffman_tables(True)
+            if restart:
+                enc.set_restart_interval(restart)
+            return enc.encode(data, w, h, ct)
+
+        old = os.environ.get("TPUENC_DEVICE_ENTROPY")
+        try:
+            os.environ["TPUENC_DEVICE_ENTROPY"] = "strict"
+            dev = run()
+            os.environ["TPUENC_DEVICE_ENTROPY"] = "0"
+            host = run()
+        finally:
+            if old is None:
+                os.environ.pop("TPUENC_DEVICE_ENTROPY", None)
+            else:
+                os.environ["TPUENC_DEVICE_ENTROPY"] = old
+        assert dev == host
+
+    @settings(
+        max_examples=int(os.environ.get("TPUENC_FUZZ_EXAMPLES", "15")),
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        w=st.integers(1, 24),
+        h=st.integers(1, 24),
+        n=st.integers(1, 4),
+        quality=st.integers(1, 100),
+        ct=st.sampled_from([ColorType.LUMA, ColorType.RGB, ColorType.YCCK]),
+        optimized=st.booleans(),
+        restart=st.sampled_from([0, 5]),
+        seed=st.integers(0, 2**31),
+    )
+    def test_fuzz_encode_batch(
+        w, h, n, quality, ct, optimized, restart, seed
+    ):
+        """encode_batch must be byte-identical to per-image encode."""
+        rng = np.random.default_rng(seed)
+        imgs = [
+            rng.integers(
+                0, 256, size=w * h * ct.bytes_per_pixel, dtype=np.uint8
+            ).tobytes()
+            for _ in range(n)
+        ]
+
+        def make():
+            enc = Encoder(quality)
+            if optimized:
+                enc.set_optimized_huffman_tables(True)
+            if restart:
+                enc.set_restart_interval(restart)
+            return enc
+
+        batch = make().encode_batch(imgs, w, h, ct)
+        singles = [make().encode(im, w, h, ct) for im in imgs]
+        assert batch == singles
+
+    @settings(
+        max_examples=int(os.environ.get("TPUENC_FUZZ_SHARD_EXAMPLES", "6")),
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        cols=st.integers(1, 3),
+        rows=st.integers(1, 12),
+        quality=st.integers(1, 100),
+        optimized=st.booleans(),
+        progressive=st.booleans(),
+        restart=st.sampled_from([0, 7]),
+        seed=st.integers(0, 2**31),
+    )
+    def test_fuzz_sharded_encoder(
+        cols, rows, quality, optimized, progressive, restart, seed
+    ):
+        """ShardedEncoder (8 virtual devices) fuzz: byte-identical to the
+        single-device encoder for MCU-aligned shapes."""
+        import jax
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from tpuenc.shard.encode import ShardedEncoder
+        from tpuenc.shard.mesh import make_mesh
+
+        w, h = 16 * cols, 16 * rows
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+        def setup(e):
+            e.set_sampling_factor(SamplingFactor.F_2_2)
+            if optimized:
+                e.set_optimized_huffman_tables(True)
+            if progressive:
+                e.set_progressive(True)
+            if restart:
+                e.set_restart_interval(restart)
+
+        senc = ShardedEncoder(quality, make_mesh(8, batch=1))
+        setup(senc)
+        got = senc.encode(img, w, h, ColorType.RGB)
+        ref = Encoder(quality)
+        setup(ref)
+        assert got == ref.encode(img, w, h, ColorType.RGB)
+
+
 else:
 
     def test_fuzz_encode_sweep():

@@ -41,8 +41,16 @@ from .huffopt import progressive_bands
 # (64 slots x 3 words + tail), so 224 words/block never clips.
 BUDGET_LADDER = (16, 48, 224)
 
-# (key) -> working budget, learned across calls.
+# (key) -> working budget, learned across calls.  Bounded: long-running
+# services encoding many distinct shapes must not grow it without limit.
 _budget_memo: dict = {}
+_BUDGET_MEMO_MAX = 4096
+
+
+def _memo_put(key, budget: int) -> None:
+    if len(_budget_memo) >= _BUDGET_MEMO_MAX:
+        _budget_memo.clear()
+    _budget_memo[key] = budget
 
 
 def _dc_prev_delta(pattern: Tuple[int, ...]) -> Tuple[int, ...]:
@@ -579,7 +587,7 @@ def device_encode_batch_fused(
         meta_np = np.asarray(meta)
         if meta_np[0]:
             continue
-        _budget_memo[key] = budget
+        _memo_put(key, budget)
         if version == "v2":
             total_words = (int(meta_np[1]) + 31) >> 5
             buf_np = fetch_bytes(buf, total_words)
@@ -667,7 +675,8 @@ def device_encode_batch(
             out.append(
                 _finish_scans(buf_np, meta_np, scan_plan, seg_structure)
             )
-    _budget_memo.setdefault(key, budget)
+    if key not in _budget_memo:
+        _memo_put(key, budget)
 
     for i in retry:
         scans = device_encode_scans(
@@ -714,7 +723,7 @@ def device_encode_scans(
         meta_np = np.asarray(meta)
         if meta_np[0]:  # overflow — escalate budget
             continue
-        _budget_memo[key] = budget
+        _memo_put(key, budget)
         n_scans = len(scan_plan)
         if version == "v2":
             total_words = int(np.sum((meta_np[1 : 1 + n_scans] + 31) >> 5))

@@ -42,9 +42,171 @@ class ShardedEncoder(Encoder):
         self._mesh = mesh
 
     def encode(self, data, width, height, color_type: ColorType) -> bytes:
-        return self.encode_batch_sharded(
-            [data], width, height, color_type
-        )[0]
+        outs = self.encode_batch_packed([data], width, height, color_type)
+        if outs is None:
+            outs = self.encode_batch_packed_general(
+                [data], width, height, color_type
+            )
+        if outs is None:
+            outs = self.encode_batch_sharded(
+                [data], width, height, color_type
+            )
+        return outs[0]
+
+    def encode_batch_packed_general(
+        self, images, width: int, height: int, color_type: ColorType
+    ) -> Optional[List[bytes]]:
+        """Fully sharded entropy for EVERY mode: each stripe packs its
+        portion of every scan on its device (raw bitstreams, mid-stream
+        DC chains via ppermute, global restart geometry); the host
+        bit-concatenates and realigns.  Lifts the interleaved +
+        restart-aligned restriction of :meth:`encode_batch_packed`.
+
+        Requires MCU-aligned dimensions and exactly one image per batch
+        mesh coordinate; returns None otherwise (caller falls back to the
+        host-packed path)."""
+        from ..core.tables import default_tables, quantization_table
+        from ..core.types import JpegColorType, init_components
+        from ..entropy import native
+        from ..entropy.chunked import BitAccumulator
+        from ..entropy.device_encode import BUDGET_LADDER
+        from ..entropy.huffopt import tables_from_histograms
+        from ..entropy.pallas_pack import pack_tables
+        from ..jfif import markers, segments
+        from .stripes import _build_general_pack_fn
+
+        color_type = ColorType(color_type)
+        config = self._config()
+        n_b = self._mesh.shape["batch"]
+        n_s = self._mesh.shape["stripe"]
+        geo = stripe_geometry(width, height, color_type, config, n_s)
+        if width % (8 * geo["max_h"]) or height % (8 * geo["max_v"]):
+            return None
+
+        pixels = np.stack(
+            [np.asarray(im, dtype=np.uint8).reshape(height, width, -1)
+             for im in images]
+        )
+        if color_type is ColorType.LUMA:
+            pixels = pixels[..., 0]
+        if pixels.shape[0] != n_b:
+            return None  # one image per batch mesh coordinate
+
+        jct = color_type.jpeg_color_type
+        components = init_components(jct, config.sampling_factor)
+        q_tables = [
+            quantization_table(config.quantization[0], config.quality, True),
+            quantization_table(config.quantization[1], config.quality, False),
+        ]
+
+        # Per-image Huffman tables (optimized via the device psum
+        # histograms, default K.3 otherwise), packed per batch coordinate.
+        default = [list(pair) for pair in default_tables()]
+        per_image_huffman = [list(list(p) for p in default) for _ in range(n_b)]
+        if config.optimize_huffman_table:
+            hfn, hgeo = stripe_encode_step(
+                width, height, color_type, config, self._mesh,
+                with_histograms=True,
+            )
+            _, hists = hfn(pad_for_stripes(
+                pixels, hgeo, channels=color_type is not ColorType.LUMA
+            ))
+            hists_np = [(np.asarray(dc), np.asarray(ac)) for dc, ac in hists]
+            for b in range(n_b):
+                optimized = tables_from_histograms(
+                    [(dc[b], ac[b]) for dc, ac in hists_np]
+                )
+                for t, pair in enumerate(optimized):
+                    per_image_huffman[b][t] = list(pair)
+
+        dcp_list, acp_list = [], []
+        for b in range(n_b):
+            from ..entropy.device_encode import tables_to_device
+
+            tabs = tables_to_device(per_image_huffman[b])
+            dcp, acp = pack_tables(tuple(np.asarray(t) for t in tabs))
+            dcp_list.append(np.asarray(dcp))
+            acp_list.append(np.asarray(acp))
+        dc_packed = np.stack(dcp_list)   # (B, 1, 64)
+        ac_packed = np.stack(acp_list)   # (B, T, 256)
+
+        rows_local = geo["rows_per_stripe"]
+        num_rows = geo["num_rows"]
+
+        for budget in BUDGET_LADDER:
+            fn, geo, plan, local_counts = _build_general_pack_fn(
+                width, height, color_type, config, self._mesh, budget
+            )
+            padded = pad_for_stripes(
+                pixels, geo, channels=color_type is not ColorType.LUMA
+            )
+            outs = fn(padded, dc_packed, ac_packed)
+
+            per_scan = []
+            overflow = False
+            for (stream, meta, lens) in outs:
+                meta_np = np.asarray(meta)
+                if meta_np[..., 0].any():
+                    overflow = True
+                    break
+                per_scan.append(
+                    (np.asarray(stream), meta_np, np.asarray(lens))
+                )
+            if overflow:
+                continue
+
+            results = []
+            for b in range(n_b):
+                payloads = []
+                for (stream_np, meta_np, lens_np), n_local, (_, spec, _) in (
+                    zip(per_scan, local_counts, plan)
+                ):
+                    per_row = n_local // rows_local
+                    acc = BitAccumulator()
+                    lens_list = []
+                    for s in range(n_s):
+                        valid_s = max(
+                            0, min(num_rows - s * rows_local, rows_local)
+                        ) * per_row
+                        acc.append_words(
+                            stream_np[b, s], int(meta_np[b, s, 1])
+                        )
+                        lens_list.append(
+                            lens_np[b, s, :valid_s].astype(np.int64)
+                        )
+                    lens_all = np.concatenate(lens_list)
+                    total_real = lens_all.size
+                    seg = spec.seg_blocks if spec.seg_blocks > 0 else total_real
+                    n_seg = -(-total_real // seg)
+                    pad_n = n_seg * seg - total_real
+                    seg_bits = np.pad(lens_all, (0, pad_n)).reshape(
+                        n_seg, seg
+                    ).sum(axis=1)
+                    data = bytes(acc.buf)
+                    stuffed = native.realign_segments(data, seg_bits)
+                    if stuffed is None:
+                        stuffed = native.realign_segments_py(
+                            data, seg_bits.tolist()
+                        )
+                    payloads.append(stuffed)
+
+                out = bytearray()
+                out += segments.marker(markers.SOI)
+                out += segments.app0_jfif(config.density)
+                if jct is JpegColorType.CMYK:
+                    out += segments.app14_adobe(0)
+                elif jct is JpegColorType.YCCK:
+                    out += segments.app14_adobe(2)
+                for nr, d in self._app_segments:
+                    out += segments.segment(markers.APP(nr), d)
+                out += self._assemble_scans(
+                    payloads, width, height, color_type, config,
+                    components, q_tables, per_image_huffman[b],
+                )
+                out += segments.marker(markers.EOI)
+                results.append(bytes(out))
+            return results
+        return None
 
     def encode_batch_packed(
         self, images, width: int, height: int, color_type: ColorType
@@ -87,6 +249,8 @@ class ShardedEncoder(Encoder):
             [np.asarray(im, dtype=np.uint8).reshape(height, width, -1)
              for im in images]
         )
+        if color_type is ColorType.LUMA:
+            pixels = pixels[..., 0]
         if pixels.shape[0] != n_b:
             return None  # local batch must be exactly the batch axis
 
@@ -102,7 +266,9 @@ class ShardedEncoder(Encoder):
         fn, geo, spec = _build_stripe_pack_fn(
             width, height, color_type, config, self._mesh, 48
         )
-        padded = pad_for_stripes(pixels, geo)
+        padded = pad_for_stripes(
+            pixels, geo, channels=color_type is not ColorType.LUMA
+        )
         data, meta = fn(padded, *tabs)
         meta_np = np.asarray(meta)
         if meta_np[..., 0].any():
@@ -198,7 +364,7 @@ class ShardedEncoder(Encoder):
             width, height, color_type, config, self._mesh,
             with_histograms=want_hists,
         )
-        padded = pad_for_stripes(pixels, geo)
+        padded = pad_for_stripes(pixels, geo, channels=bpp != 1)
         if want_hists:
             streams, hists = fn(padded)
             hists_np = [

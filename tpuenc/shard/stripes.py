@@ -60,11 +60,18 @@ def stripe_geometry(width: int, height: int, color_type: ColorType,
     }
 
 
-def pad_for_stripes(pixels: np.ndarray, geo) -> np.ndarray:
+def pad_for_stripes(pixels: np.ndarray, geo, channels: bool | None = None
+                    ) -> np.ndarray:
     """Host-side edge-replicating pad of (..., H, W[, C]) pixels to the
-    stripe-aligned canvas."""
-    h_axis = pixels.ndim - (3 if pixels.ndim >= 3 else 2)
-    spatial_offset = pixels.ndim - 2 if pixels.ndim == 2 else pixels.ndim - 3
+    stripe-aligned canvas.
+
+    ``channels`` says whether the trailing axis is a channel axis.  A
+    3-D array is ambiguous — (H, W, C) vs a batched luma (B, H, W) — so
+    batched-luma callers must pass ``channels=False``; the default
+    preserves the historical channel-last reading for ndim >= 3."""
+    if channels is None:
+        channels = pixels.ndim >= 3
+    spatial_offset = pixels.ndim - (3 if channels else 2)
     pad = [(0, 0)] * pixels.ndim
     pad[spatial_offset] = (0, geo["pad_h"] - pixels.shape[spatial_offset])
     pad[spatial_offset + 1] = (0, geo["pad_w"] - pixels.shape[spatial_offset + 1])
@@ -236,6 +243,159 @@ def stripe_encode_step(
     return _build_stripe_fn(
         width, height, ColorType(color_type), config, mesh, with_histograms
     )
+
+
+@lru_cache(maxsize=16)
+def _build_general_pack_fn(
+    width: int,
+    height: int,
+    color_type: ColorType,
+    config: EncoderConfig,
+    mesh: Mesh,
+    budget: int,
+):
+    """Generalized fully-sharded entropy pack: every stripe packs its
+    portion of EVERY scan (interleaved, sequential or progressive; any
+    restart interval or none) as a raw bitstream on its device.
+
+    Mid-stream correctness comes from the same primitives as the chunked
+    path (``entropy.chunked``): DC predictor tails cross stripe
+    boundaries via ``ppermute``, restart-segment geometry uses the global
+    block offset, and trailing stripe-alignment padding blocks are masked
+    to zero bits.  The host bit-concatenates the per-stripe streams and
+    realigns/stuffs each restart segment once (native packer) — only
+    compressed bits and per-block bit counts leave the devices.
+
+    Requires MCU-aligned dimensions (component scan grids must coincide
+    with the stripe grids).  Returns (jit_fn, geo, plan, per-scan local
+    block counts); the function maps ((B, pad_h, pad_w, C) pixels,
+    dc_packed, ac_packed) to a tuple of (stream, bits, lens) triples per
+    scan, each sharded (batch, stripe)-major.
+    """
+    from ..entropy.device_encode import build_scan_plan
+    from ..entropy.pallas_pack import dc_diffs_for_spec, device_scan_pack
+    from ..kernels.pipeline import scan_layout
+
+    n_stripes = mesh.shape["stripe"]
+    geo = stripe_geometry(width, height, color_type, config, n_stripes)
+    components = geo["components"]
+    max_h, max_v = geo["max_h"], geo["max_v"]
+    num_cols = geo["num_cols"]
+    num_rows = geo["num_rows"]
+    rows_local = geo["rows_per_stripe"]
+    assert width % (8 * max_h) == 0 and height % (8 * max_v) == 0
+
+    layout = scan_layout(width, height, color_type, config)
+    plan = build_scan_plan(layout, components, config)
+    interleaved = layout["interleaved"]
+
+    q_tables = [
+        quantization_table(config.quantization[0], config.quality, luma=True),
+        quantization_table(config.quantization[1], config.quality, luma=False),
+    ]
+    interpret = jax.default_backend() != "tpu"
+    perm = [(i, i + 1) for i in range(n_stripes - 1)]
+
+    # Per-scan local block geometry (static).
+    local_counts = []
+    for stream_idx, spec, _ in plan:
+        if interleaved:
+            bpm = len(layout["mcu_block_comps"])
+            local_counts.append(rows_local * num_cols * bpm)
+        else:
+            comp = components[stream_idx]
+            cv = comp.vertical_sampling_factor
+            ch = comp.horizontal_sampling_factor
+            local_counts.append(rows_local * cv * num_cols * ch)
+
+    def local_fn(px, dc_packed, ac_packed):
+        px = px[0]                # B_local == 1
+        dc_packed = dc_packed[0]  # per-image tables, batch-sharded
+        ac_packed = ac_packed[0]
+        planes = to_planes(px, color_type)
+        grids = []
+        for comp in components:
+            h_scale = max_h // comp.horizontal_sampling_factor
+            v_scale = max_v // comp.vertical_sampling_factor
+            sub = planes[comp.id][..., ::v_scale, ::h_scale] - 128
+            blocks = _blockify(sub)
+            dct = fdct_blocks(blocks)
+            qz = quantize_zigzag(
+                dct.reshape(*dct.shape[:-2], 64),
+                q_tables[comp.quantization_table],
+            )
+            grids.append(qz)
+
+        if interleaved:
+            streams_mcu = []
+            for comp, qz in zip(components, grids):
+                cv = comp.vertical_sampling_factor
+                ch = comp.horizontal_sampling_factor
+                x = qz.reshape(rows_local, cv, num_cols, ch, 64)
+                x = jnp.moveaxis(x, 1, 2)
+                streams_mcu.append(
+                    x.reshape(rows_local * num_cols, cv * ch, 64)
+                )
+            mcu = jnp.concatenate(streams_mcu, axis=-2)
+            comp_streams = (mcu.reshape(-1, 64),)
+        else:
+            comp_streams = tuple(qz.reshape(-1, 64) for qz in grids)
+
+        sidx = jax.lax.axis_index("stripe")
+        valid_rows = jnp.clip(num_rows - sidx * rows_local, 0, rows_local)
+
+        outs = []
+        for (stream_idx, spec, _), n_local in zip(plan, local_counts):
+            blocks_local = comp_streams[stream_idx].astype(jnp.int32)
+            pat = len(spec.dc_tab_pattern)
+            per_row = n_local // rows_local
+            valid_blocks = valid_rows * per_row
+            go = sidx * n_local
+
+            if spec.emit_dc:
+                tail_dc = blocks_local[-pat:, 0].astype(jnp.int32)
+                prev_tail = jax.lax.ppermute(tail_dc, "stripe", perm)
+                dcdiff = dc_diffs_for_spec(
+                    blocks_local, spec, prev_tail=prev_tail,
+                    global_offset=go,
+                )
+            else:
+                dcdiff = jnp.zeros((n_local,), jnp.int32)
+
+            stream, bits, lens, ovf = device_scan_pack(
+                blocks_local, spec, dc_packed, ac_packed, budget,
+                interpret=interpret, dcdiff=dcdiff,
+                valid_blocks=valid_blocks,
+            )
+            meta = jnp.stack(
+                [ovf.astype(jnp.int32), bits.astype(jnp.int32)]
+            )
+            outs.append(
+                (stream[None, None], meta[None, None],
+                 lens[:n_local][None, None])
+            )
+        return tuple(outs)
+
+    in_spec = P("batch", "stripe", None, None)
+    if ColorType(color_type) is ColorType.LUMA:
+        in_spec = P("batch", "stripe", None)
+    triple = (
+        P("batch", "stripe", None),
+        P("batch", "stripe", None),
+        P("batch", "stripe", None),
+    )
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(
+            in_spec, P("batch", None, None), P("batch", None, None),
+        ),
+        out_specs=tuple(triple for _ in plan),
+        # The Pallas packer's out_shapes carry no vma annotations; skip
+        # the varying-axis check (outputs are per-shard by construction).
+        check_vma=False,
+    )
+    return jax.jit(fn), geo, plan, tuple(local_counts)
 
 
 @lru_cache(maxsize=16)
