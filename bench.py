@@ -165,7 +165,10 @@ def bench_stages(setup, img, w, h):
     )
     cf(dimg)
     ms = _amortized_ms(lambda: cf(dimg))
-    rows.append(("coefficients (color+fdct+quant)", ms))
+    from tpuenc.kernels.pipeline import _use_pallas_fdct
+
+    fdct_path = "pallas" if _use_pallas_fdct() else "xla"
+    rows.append((f"coefficients (color+fdct+quant, {fdct_path})", ms))
 
     # Entropy pack alone on the real coefficient stream.
     version = de.pack_version()

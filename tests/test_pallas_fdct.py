@@ -30,18 +30,16 @@ def test_pallas_matches_xla(quality, luma):
 
 
 def test_pallas_pipeline_end_to_end(monkeypatch):
+    # The coefficient-builder cache keys on the resolved Pallas flag, so
+    # toggling the env var alone switches paths.
     monkeypatch.setenv("TPUENC_PALLAS_FDCT", "1")
     monkeypatch.setenv("TPUENC_DEVICE_ENTROPY", "0")
     from tpuenc import ColorType, Encoder
-    from tpuenc.kernels import pipeline
 
-    pipeline._build_coefficients_fn.cache_clear()
     rng = np.random.default_rng(1)
     img = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
     with_pallas = Encoder(85).encode(img, 40, 24, ColorType.RGB)
 
     monkeypatch.setenv("TPUENC_PALLAS_FDCT", "0")
-    pipeline._build_coefficients_fn.cache_clear()
     without = Encoder(85).encode(img, 40, 24, ColorType.RGB)
-    pipeline._build_coefficients_fn.cache_clear()
     assert with_pallas == without
