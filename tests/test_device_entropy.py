@@ -250,3 +250,36 @@ def test_full_encode_device_degenerate_sizes(wh):
         else:
             os.environ["TPUENC_DEVICE_ENTROPY"] = old
     assert host == dev, wh
+
+
+def test_speculative_fetch_memo_and_parity():
+    """speculate/resolve returns the same bytes as a plain fetch, both
+    when the memoized guess covers the true length and when it does not
+    (forcing the fallback round trip)."""
+    from tpuenc.entropy import device_encode as de
+
+    buf = jnp.arange(200000, dtype=jnp.uint8)
+    key = ("spec-test", "unit")
+    de._size_memo.pop(key, None)
+
+    # No history -> no speculation; resolve falls back and records a
+    # high-water mark.
+    assert de.speculate_fetch(buf, key) is None
+    got = de.resolve_fetch(None, buf, 1000, key)
+    np.testing.assert_array_equal(got, np.asarray(buf)[:1000])
+    assert de._size_memo[key] == 1000
+
+    # Covered guess: speculative slice is used directly.
+    spec = de.speculate_fetch(buf, key)
+    assert spec is not None
+    arr, bucket = spec
+    assert bucket >= 1000
+    got2 = de.resolve_fetch(spec, buf, 900, key)
+    np.testing.assert_array_equal(got2, np.asarray(buf)[:900])
+    assert de._size_memo[key] == 1000  # high-water mark kept
+
+    # Undershooting guess: resolve must refetch the larger prefix.
+    got3 = de.resolve_fetch(spec, buf, bucket + 1, key)
+    np.testing.assert_array_equal(got3, np.asarray(buf)[: bucket + 1])
+    assert de._size_memo[key] == bucket + 1
+    de._size_memo.pop(key, None)

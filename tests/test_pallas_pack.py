@@ -242,3 +242,38 @@ def test_device_scan_pack_full_pipeline():
     assert int(total_bits) == exp_bits
     assert np.asarray(lens)[:123].tolist() == [n for _, n in per_block]
     assert _stream_to_int(np.asarray(stream), int(total_bits)) == exp_acc
+
+
+def test_fold_plan_vmem_adaptive():
+    """P3 tile sizing: full tile when small, shrinks as caps grow, and
+    None (skip P3) when even one substream per step blows VMEM."""
+    from tpuenc.entropy.pallas_pack import fold_plan
+
+    s, caps = fold_plan(8, 256, 16, 512)
+    assert s == 16 and caps[-1] >= 256
+    s, _ = fold_plan(16, 4096, 16, 8192)
+    assert s < 16
+    assert fold_plan(8, 131200, 128, 131072) is None
+
+
+def test_device_scan_pack_multi_chunk_rows():
+    """Enough blocks that each substream holds several chunks (n2 > 1,
+    non-pow2), exercising the P3 row-fold pass between P2 and P4."""
+    from tpuenc.entropy.pallas_pack import device_scan_pack
+
+    spec = SPECS["interleaved_seg"]
+    huffman = _default_tables()
+    rng = np.random.default_rng(7)
+    blocks = _random_blocks(600, rng, density=0.2)
+    dc_p, ac_p = pack_tables(tables_to_arrays(huffman))
+
+    stream, total_bits, lens, ovf = device_scan_pack(
+        jnp.asarray(blocks), spec, dc_p, ac_p, 48,
+        tile=32, n_sub=16, chunk=8, interpret=True,
+    )
+    assert not bool(ovf)
+    per_block = _serial_bits(blocks, spec, huffman)
+    exp_acc, exp_bits = _expected_stream(per_block)
+    assert int(total_bits) == exp_bits
+    assert np.asarray(lens)[:600].tolist() == [n for _, n in per_block]
+    assert _stream_to_int(np.asarray(stream), int(total_bits)) == exp_acc

@@ -204,12 +204,15 @@ def _pack_scans_v2(comp_streams, scan_plan, dc_packed, ac_packed, budget,
 
 def _pack_tables_jnp(dc_sizes, dc_codes, ac_sizes, ac_codes):
     """v2 packed-table layout from the four (T,256) lookup arrays:
-    dc (1, 64) int32 [tab*16 + size], ac (T, 256) int32 [size<<16|code]."""
+    dc (1, 128) int32 [tab*16 + size, zero-padded lane vreg], ac (T, 256)
+    int32 [size<<16|code]."""
     T = dc_sizes.shape[0]
     assert T <= 4
     dcp = (dc_sizes[:, :16].astype(jnp.uint32) << 16) | \
         dc_codes[:, :16].astype(jnp.uint32)
-    dc_packed = jnp.pad(dcp, ((0, 4 - T), (0, 0))).reshape(1, 64)
+    dc_packed = jnp.pad(
+        jnp.pad(dcp, ((0, 4 - T), (0, 0))).reshape(1, 64), ((0, 0), (0, 64))
+    )
     ac_packed = (ac_sizes.astype(jnp.uint32) << 16) | \
         ac_codes.astype(jnp.uint32)
     return dc_packed.astype(jnp.int32), ac_packed.astype(jnp.int32)
@@ -421,6 +424,46 @@ def fetch_bytes(buf, total: int) -> np.ndarray:
     return np.asarray(_slice_fn(bucket)(buf))[:total]
 
 
+# (key) -> high-water output element count, learned across calls so the
+# output slice can be dispatched concurrently with the metadata fetch
+# (one tunnel round trip instead of two).  Same bound policy as the
+# budget memo.
+_size_memo: dict = {}
+
+
+def _size_memo_put(key, total: int) -> None:
+    if len(_size_memo) >= _BUDGET_MEMO_MAX:
+        _size_memo.clear()
+    prev = _size_memo.get(key, 0)
+    if total > prev:
+        _size_memo[key] = total
+
+
+def speculate_fetch(buf, key):
+    """Dispatch (async) a bucketed output slice sized from the memoized
+    high-water mark for ``key``, BEFORE the metadata round trip resolves
+    the true length.  Returns ``(device_slice, bucket)`` or ``None`` when
+    no history exists."""
+    guess = _size_memo.get(key)
+    if not guess:
+        return None
+    bucket = min(_bucket(guess), buf.shape[0])
+    if bucket >= buf.shape[0]:
+        return buf, int(buf.shape[0])
+    return _slice_fn(bucket)(buf), bucket
+
+
+def resolve_fetch(spec, buf, total: int, key) -> np.ndarray:
+    """Fetch the first ``total`` elements, using the speculative slice when
+    it covers the true length; otherwise fall back to a fresh fetch."""
+    _size_memo_put(key, total)
+    if spec is not None:
+        arr, bucket = spec
+        if total <= bucket:
+            return np.asarray(arr)[:total]
+    return fetch_bytes(buf, total)
+
+
 def tables_to_arrays(huffman) -> Tuple[np.ndarray, ...]:
     """[(dc, ac) per table id] -> four (T, 256) uint32 lookup arrays."""
     T = len(huffman)
@@ -584,13 +627,14 @@ def device_encode_batch_fused(
             return None
         fn, scan_plan, segs_per_image = built
         buf, meta = fn(pixels, *tabs)
+        spec = speculate_fetch(buf, key)
         meta_np = np.asarray(meta)
         if meta_np[0]:
             continue
         _memo_put(key, budget)
         if version == "v2":
             total_words = (int(meta_np[1]) + 31) >> 5
-            buf_np = fetch_bytes(buf, total_words)
+            buf_np = resolve_fetch(spec, buf, total_words, key)
             seg_bits = meta_np[2:].astype(np.int64)
             data = buf_np[:total_words].astype(">u4").tobytes()
             out = []
@@ -608,7 +652,7 @@ def device_encode_batch_fused(
                 bit_off += int(segs.sum())
             return out
         seg_bytes = meta_np[2:] >> 3
-        buf_np = fetch_bytes(buf, int(meta_np[1]) >> 3)
+        buf_np = resolve_fetch(spec, buf, int(meta_np[1]) >> 3, key)
         out = []
         off = 0
         for i in range(n):
@@ -654,6 +698,7 @@ def device_encode_batch(
     # so H2D, compute and D2H overlap across images.
     device_images = [jax.device_put(img) for img in images]
     pending = [fn(img, *tabs) for img in device_images]
+    specs = [speculate_fetch(buf, key) for buf, _ in pending]
 
     out: List[Optional[List[bytes]]] = []
     retry: List[int] = []
@@ -665,13 +710,13 @@ def device_encode_batch(
             continue
         if version == "v2":
             total = int(np.sum((meta_np[1 : 1 + n_scans] + 31) >> 5))
-            buf_np = fetch_bytes(buf, total)
+            buf_np = resolve_fetch(specs[i], buf, total, key)
             out.append(
                 _finish_scans_v2(buf_np, meta_np, scan_plan, seg_structure)
             )
         else:
             total = int(np.sum(meta_np[1 : 1 + n_scans]) >> 3)
-            buf_np = fetch_bytes(buf, total)
+            buf_np = resolve_fetch(specs[i], buf, total, key)
             out.append(
                 _finish_scans(buf_np, meta_np, scan_plan, seg_structure)
             )
@@ -720,6 +765,7 @@ def device_encode_scans(
             )
             buf, meta = fn(tuple(comp_streams), *tabs)
 
+        spec = speculate_fetch(buf, key)
         meta_np = np.asarray(meta)
         if meta_np[0]:  # overflow — escalate budget
             continue
@@ -727,9 +773,9 @@ def device_encode_scans(
         n_scans = len(scan_plan)
         if version == "v2":
             total_words = int(np.sum((meta_np[1 : 1 + n_scans] + 31) >> 5))
-            buf_np = fetch_bytes(buf, total_words)
+            buf_np = resolve_fetch(spec, buf, total_words, key)
             return _finish_scans_v2(buf_np, meta_np, scan_plan, seg_structure)
         total_bytes = int(np.sum(meta_np[1 : 1 + n_scans]) >> 3)
-        buf_np = fetch_bytes(buf, total_bytes)
+        buf_np = resolve_fetch(spec, buf, total_bytes, key)
         return _finish_scans(buf_np, meta_np, scan_plan, seg_structure)
     return None

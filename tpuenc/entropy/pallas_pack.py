@@ -100,6 +100,29 @@ def _append_bits(lens, w0, w1, w2, bits, blen):
     return end, out[0], out[1], out[2]
 
 
+def _gather_row(row, idx):
+    """Per-element lookup of a <=128-entry table held in one lane vreg.
+
+    ``row``: (1, 128) int32 table values; ``idx``: (H, T) int32 in
+    [0, 128) with T a multiple of 128.  Each 128-lane column chunk of
+    ``idx`` is one same-shape lane-axis ``tpu.dynamic_gather`` whose
+    source spans a single vreg along the gather axis (Mosaic rejects
+    multi-vreg gather sources).  Gathers run at >=8 sublanes: jax lowers
+    the single-row take_along_axis to a gather form Mosaic's
+    equal-shapes pattern match rejects, so a (1, T) lookup is broadcast
+    to one full vreg and sliced back."""
+    H, T = idx.shape
+    Hg = max(H, 8)
+    op = jnp.broadcast_to(row.astype(jnp.int32), (Hg, 128))
+    idxg = idx if H == Hg else jnp.broadcast_to(idx, (Hg, T))
+    outs = [
+        jnp.take_along_axis(op, idxg[:, c:c + 128], axis=1)
+        for c in range(0, T, 128)
+    ]
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+    return out if H == Hg else out[:H]
+
+
 def _select_by_table(tab_col, per_table_vals):
     """Select between per-table arrays/scalars by a (TILE, 1) table-id
     column.  ``per_table_vals`` is a list indexed by table id."""
@@ -184,6 +207,16 @@ def _pack_tile_kernel(
     spec: ScanSpec,
     budget: int,
 ):
+    """Coefficient-major phase 1: the tile arrives transposed as
+    ``(64 slots, T blocks)`` so every elementwise op runs at full lane
+    density (T = 256 -> two full vregs per 8 sublanes, vs the half-empty
+    64-lane rows of the block-major layout), the run-length prefix scan
+    shifts along sublanes, and the item registers are already in the
+    ``(N, C, T)`` shape the in-block merge tree wants — no in-kernel
+    transposes at all.  Huffman lookups are lane-axis
+    ``tpu.dynamic_gather`` ops over 128-entry table rows (a single
+    source vreg along the gather axis — the only form Mosaic lowers;
+    sublane gathers would need 8 source vregs)."""
     from jax.experimental import pallas as pl
 
     T = tile
@@ -191,80 +224,74 @@ def _pack_tile_kernel(
     pat = len(spec.dc_tab_pattern)
 
     g = pl.program_id(0)
-    bidx = g * T + jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)
-    valid = bidx < n_blocks
+    bidx = g * T + jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
+    valid = bidx < n_blocks  # (1, T)
 
-    # Static per-block table ids from the repeating pattern.
+    # Static per-block table ids from the repeating pattern (lanes).
     distinct_dc = sorted(set(spec.dc_tab_pattern))
     distinct_ac = sorted(set(spec.ac_tab_pattern))
     if len(distinct_dc) == 1:
-        dctab = jnp.full((T, 1), distinct_dc[0], jnp.int32)
+        dctab = jnp.full((1, T), distinct_dc[0], jnp.int32)
     else:
         pos = bidx % pat
-        dctab = jnp.full((T, 1), int(spec.dc_tab_pattern[0]), jnp.int32)
+        dctab = jnp.full((1, T), int(spec.dc_tab_pattern[0]), jnp.int32)
         for p in range(1, pat):
             dctab = jnp.where(pos == p, int(spec.dc_tab_pattern[p]), dctab)
     if len(distinct_ac) == 1:
-        actab = jnp.full((T, 1), distinct_ac[0], jnp.int32)
+        actab = jnp.full((1, T), distinct_ac[0], jnp.int32)
     else:
         pos = bidx % pat
-        actab = jnp.full((T, 1), int(spec.ac_tab_pattern[0]), jnp.int32)
+        actab = jnp.full((1, T), int(spec.ac_tab_pattern[0]), jnp.int32)
         for p in range(1, pat):
             actab = jnp.where(pos == p, int(spec.ac_tab_pattern[p]), actab)
 
-    q = q_ref[:]  # (T, 64) int32
+    q = q_ref[:]  # (64, T) int32, slot-major
 
-    # Per-slot item registers.
-    lens = jnp.zeros((T, 64), jnp.int32)
-    w0 = jnp.zeros((T, 64), U32)
-    w1 = jnp.zeros((T, 64), U32)
-    w2 = jnp.zeros((T, 64), U32)
+    # Per-slot item registers, (64 slots, T blocks).
+    lens = jnp.zeros((64, T), jnp.int32)
+    w0 = jnp.zeros((64, T), U32)
+    w1 = jnp.zeros((64, T), U32)
+    w2 = jnp.zeros((64, T), U32)
 
-    slot = jax.lax.broadcasted_iota(jnp.int32, (T, 64), 1)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (64, T), 0)
 
     # ----- DC item (slot 0) ------------------------------------------------
     if spec.emit_dc:
-        diff = dcdiff_ref[:]  # (T, 1) int32
+        diff = dcdiff_ref[:]  # (1, T) int32
         size = _bit_length(jnp.abs(diff))
         extra = (diff - (diff < 0).astype(jnp.int32)).astype(U32) & _mask(size)
-        # Lookup idx = tab*16 + size over the (n_tabs*16 <= 64)-entry packed
-        # table replicated along lanes; one 64-lane dynamic gather.
-        idx = jnp.broadcast_to(dctab * 16 + size, (T, 64))
-        op = jnp.broadcast_to(dctabs_ref[0:1, 0:64], (T, 64)).astype(jnp.int32)
-        lut = jnp.take_along_axis(op, idx, axis=1)[:, 0:1].astype(U32)
+        # Lookup idx = tab*16 + size over the (n_tabs*16 <= 64)-entry
+        # packed table row (padded to 128 lanes); lane dynamic gathers.
+        idx = dctab * 16 + size  # (1, T)
+        lut = _gather_row(dctabs_ref[0:1, 0:128], idx).astype(U32)
         hs = (lut >> 16).astype(jnp.int32)
         hc = lut & 0xFFFF
         dc_bits = _shl(hc, size) | extra
         dc_blen = jnp.where(valid, hs + size, 0)
-        dl, dw0, dw1, dw2 = _append_bits(
-            jnp.zeros((T, 1), jnp.int32), jnp.zeros((T, 1), U32),
-            jnp.zeros((T, 1), U32), jnp.zeros((T, 1), U32),
-            dc_bits, dc_blen,
-        )
+        # DC codes are <= 16+11 bits: the item is a single MSB-placed word.
+        dc_w0 = _shl(dc_bits, 32 - dc_blen)
         at0 = slot == 0
-        lens = jnp.where(at0, dl, lens)
-        w0 = jnp.where(at0, dw0, w0)
-        w1 = jnp.where(at0, dw1, w1)
-        w2 = jnp.where(at0, dw2, w2)
+        lens = jnp.where(at0, dc_blen, lens)
+        w0 = jnp.where(at0, dc_w0, w0)
 
     # ----- AC items (slots ss..se) -----------------------------------------
-    eob_flag = jnp.zeros((T, 1), bool)
+    eob_flag = jnp.zeros((1, T), bool)
     if spec.emit_ac:
         in_band = (slot >= ss) & (slot < se)
         band = jnp.where(in_band, q, 0)
         nz = band != 0
 
-        # Running maximum of last-nonzero index via log-shifts along lanes.
+        # Running maximum of last-nonzero index via log-shifts (sublanes).
         lastnz = jnp.where(nz, slot, -1)
         sh = 1
         while sh < 64:
             prev_ln = jnp.concatenate(
-                [jnp.full((T, sh), -1, jnp.int32), lastnz[:, :-sh]], axis=1
+                [jnp.full((sh, T), -1, jnp.int32), lastnz[:-sh, :]], axis=0
             )
             lastnz = jnp.maximum(lastnz, prev_ln)
             sh <<= 1
         prevnz = jnp.concatenate(
-            [jnp.full((T, 1), -1, jnp.int32), lastnz[:, :-1]], axis=1
+            [jnp.full((1, T), -1, jnp.int32), lastnz[:-1, :]], axis=0
         )
         # First in-band slot's previous-nonzero is ss-1 (band start).
         prevnz = jnp.maximum(prevnz, ss - 1)
@@ -275,54 +302,64 @@ def _pack_tile_kernel(
         sym = ((run & 15) << 4) | size
         zrl_count = jnp.where(nz, run >> 4, 0)
 
-        # Huffman lookup: four 64-lane gathers over the 256-entry packed
-        # table (per-block table id selected per row), select by sym>>6.
-        sym_lo = sym & 63
-        vals = []
-        for k in range(4):
-            tabs_k = [
-                jnp.broadcast_to(
-                    actabs_ref[t:t + 1, k * 64:(k + 1) * 64], (T, 64)
-                ).astype(jnp.int32)
-                for t in range(actabs_ref.shape[0])
-            ]
+        # Huffman lookup: two lane gathers per distinct table over the
+        # 256-entry packed row (two 128-lane halves selected by sym>>7,
+        # per-block table id selected per lane).
+        sym_lo = sym & 127
+        hi1 = sym >> 7
+        halves = []
+        for h in range(2):
+            per_t = {
+                t: _gather_row(
+                    actabs_ref[t:t + 1, h * 128:(h + 1) * 128], sym_lo
+                )
+                for t in distinct_ac
+            }
             if len(distinct_ac) == 1:
-                op = tabs_k[distinct_ac[0]]
+                halves.append(per_t[distinct_ac[0]])
             else:
-                op = _select_by_table(actab, tabs_k)
-            vals.append(jnp.take_along_axis(op, sym_lo, axis=1))
-        hi2 = sym >> 6
-        lut = vals[3]
-        for k in (2, 1, 0):
-            lut = jnp.where(hi2 == k, vals[k], lut)
-        lut = lut.astype(U32)
+                v = per_t[distinct_ac[-1]]
+                for t in distinct_ac[-2::-1]:
+                    v = jnp.where(actab == t, per_t[t], v)
+                halves.append(v)
+        lut = jnp.where(hi1 == 0, halves[0], halves[1]).astype(U32)
         sym_hs = (lut >> 16).astype(jnp.int32)
         sym_hc = lut & 0xFFFF
 
         # ZRL code: scalar per table id.
         zrl_luts = [actabs_ref[t, 0xF0] for t in range(actabs_ref.shape[0])]
         if len(distinct_ac) == 1:
-            zrl_lut = jnp.full((T, 1), zrl_luts[distinct_ac[0]], jnp.int32)
+            zrl_lut = jnp.full((1, T), zrl_luts[distinct_ac[0]], jnp.int32)
         else:
             zrl_lut = _select_by_table(
-                actab, [jnp.full((T, 1), z, jnp.int32) for z in zrl_luts]
+                actab, [jnp.full((1, T), z, jnp.int32) for z in zrl_luts]
             )
-        zrl_lut = jnp.broadcast_to(zrl_lut, (T, 64)).astype(U32)
+        zrl_lut = jnp.broadcast_to(zrl_lut, (64, T)).astype(U32)
         zrl_hs = (zrl_lut >> 16).astype(jnp.int32)
         zrl_hc = (zrl_lut & 0xFFFF)
 
-        item_active = nz & jnp.broadcast_to(valid, (T, 64))
-        al = jnp.zeros((T, 64), jnp.int32)
-        a0 = jnp.zeros((T, 64), U32)
-        a1 = jnp.zeros((T, 64), U32)
-        a2 = jnp.zeros((T, 64), U32)
-        for tz in range(3):  # up to 3 ZRL codes per item (run <= 62)
-            active = (zrl_count > tz) & item_active
-            al, a0, a1, a2 = _append_bits(
-                al, a0, a1, a2,
-                jnp.where(active, zrl_hc, jnp.uint32(0)),
-                jnp.where(active, zrl_hs, 0),
-            )
+        item_active = nz & jnp.broadcast_to(valid, (64, T))
+        # Specialized ZRL appends: the k-th ZRL code lands at the known
+        # offset k*L (L = ZRL code length <= 16), so append 1 is a pure
+        # MSB placement, append 2 touches word 0 only (2L <= 32) and
+        # append 3 at most words 0-1 (3L <= 48).
+        act1 = (zrl_count > 0) & item_active
+        act2 = (zrl_count > 1) & item_active
+        act3 = (zrl_count > 2) & item_active
+        a0 = jnp.where(act1, _shl(zrl_hc, 32 - zrl_hs), jnp.uint32(0))
+        a0 = a0 | jnp.where(act2, _shl(zrl_hc, 32 - 2 * zrl_hs),
+                            jnp.uint32(0))
+        end3 = 3 * zrl_hs
+        a0 = a0 | jnp.where(act3 & (end3 <= 32), _shl(zrl_hc, 32 - end3),
+                            jnp.uint32(0))
+        a0 = a0 | jnp.where(act3 & (end3 > 32), _shr(zrl_hc, end3 - 32),
+                            jnp.uint32(0))
+        a1 = jnp.where(act3 & (end3 > 32), _shl(zrl_hc, 64 - end3),
+                       jnp.uint32(0))
+        al = zrl_hs * (act1.astype(jnp.int32) + act2.astype(jnp.int32)
+                       + act3.astype(jnp.int32))
+        a2 = jnp.zeros((64, T), U32)
+
         sym_bits = _shl(sym_hc, size) | extra
         sym_blen = jnp.where(item_active, sym_hs + size, 0)
         al, a0, a1, a2 = _append_bits(al, a0, a1, a2, sym_bits, sym_blen)
@@ -333,13 +370,13 @@ def _pack_tile_kernel(
         w1 = jnp.where(ac_slots, a1, w1)
         w2 = jnp.where(ac_slots, a2, w2)
 
-        eob_flag = (lastnz[:, 63:64] < (se - 1)) & valid
+        eob_flag = (lastnz[63:64, :] < (se - 1)) & valid
 
-    # ----- Transpose to (N, C, T) layout and run the in-block tree. --------
-    lens_t = lens.T.reshape(64, 1, T)
+    # ----- Already in the (N, C, T) layout the in-block tree wants. --------
+    lens_t = lens.reshape(64, 1, T)
     words_nct = jnp.concatenate(
-        [w0.T.reshape(64, 1, T), w1.T.reshape(64, 1, T),
-         w2.T.reshape(64, 1, T)],
+        [w0.reshape(64, 1, T), w1.reshape(64, 1, T),
+         w2.reshape(64, 1, T)],
         axis=1,
     )
 
@@ -355,10 +392,10 @@ def _pack_tile_kernel(
     if spec.emit_ac:
         eob_luts = [actabs_ref[t, 0x00] for t in range(actabs_ref.shape[0])]
         if len(distinct_ac) == 1:
-            eob_lut = jnp.full((T, 1), eob_luts[distinct_ac[0]], jnp.int32)
+            eob_lut = jnp.full((1, T), eob_luts[distinct_ac[0]], jnp.int32)
         else:
             eob_lut = _select_by_table(
-                actab, [jnp.full((T, 1), z, jnp.int32) for z in eob_luts]
+                actab, [jnp.full((1, T), z, jnp.int32) for z in eob_luts]
             )
         eob_lut = eob_lut.astype(U32)
         eob_hs = jnp.where(eob_flag, (eob_lut >> 16).astype(jnp.int32), 0)
@@ -366,11 +403,11 @@ def _pack_tile_kernel(
         # Tail chunk: EOB code MSB-aligned in its first word.
         tail_w = _shl(eob_hc, 32 - jnp.minimum(eob_hs, 32))
         tail_words = jnp.concatenate(
-            [tail_w.T.reshape(1, 1, T)] +
+            [tail_w.reshape(1, 1, T)] +
             [jnp.zeros((1, 1, T), U32)] * (cap_final - 1),
             axis=1,
         )
-        tail_len = eob_hs.T.reshape(1, 1, T)
+        tail_len = eob_hs.reshape(1, 1, T)
         two_len = jnp.concatenate([cur_len, tail_len], axis=0)
         two_w = jnp.concatenate(
             [jnp.pad(cur_w, ((0, 0), (0, cap_final - caps[-1]), (0, 0))),
@@ -422,11 +459,12 @@ def _build_pack_blocks_fn(
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tile, 64), lambda g: (g, 0),
+            # q and dcdiff arrive coefficient-major: (64, Bp) and (1, Bp).
+            pl.BlockSpec((64, tile), lambda g: (0, g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 1), lambda g: (g, 0),
+            pl.BlockSpec((1, tile), lambda g: (0, g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 64), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda g: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n_actabs, 256), lambda g: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -444,7 +482,9 @@ def _build_pack_blocks_fn(
     )
 
     def fn(q_padded, dcdiff, dc_packed, ac_packed):
-        words_t, lens_t = call(q_padded, dcdiff, dc_packed, ac_packed)
+        words_t, lens_t = call(
+            q_padded.T, dcdiff.reshape(1, -1), dc_packed, ac_packed,
+        )
         # (G, capB, T) -> (G*T, capB); lens slab row 0 -> (G*T,), row 1 ->
         # per-tile overflow flags.
         words = jnp.swapaxes(words_t, 1, 2).reshape(n_tiles * tile, capB)
@@ -506,12 +546,13 @@ def dc_diffs_for_spec(blocks, spec: ScanSpec, prev_tail=None,
 
 def pack_tables(huffman_arrays):
     """(dc_sizes, dc_codes, ac_sizes, ac_codes) (T,256) u32 arrays ->
-    (dc_packed (1,64) i32 [tab*16+size], ac_packed (T,256) i32)."""
+    (dc_packed (1,128) i32 [tab*16+size, zero-padded lane vreg],
+    ac_packed (T,256) i32)."""
     dc_sizes, dc_codes, ac_sizes, ac_codes = huffman_arrays
     T = dc_sizes.shape[0]
     dc_sizes = np.asarray(dc_sizes)
     dc_codes = np.asarray(dc_codes)
-    dc_packed = np.zeros((1, 64), np.int32)
+    dc_packed = np.zeros((1, 128), np.int32)
     for t in range(min(T, 4)):
         dc_packed[0, t * 16:(t + 1) * 16] = (
             (dc_sizes[t, :16].astype(np.int64) << 16)
@@ -599,6 +640,160 @@ def _merge_chunks_kernel(lens_ref, words_ref, out_words_ref, out_lens_ref,
     out_lens_ref[0, 1] = jnp.broadcast_to(
         overflow.astype(jnp.int32).reshape(1, 1), (1, S)
     )[0]
+
+
+def fold_caps(cap_in: int, n_chunks: int, budget_eff: int):
+    """Capacity schedule for the P3 row fold: like :func:`chunk_caps`
+    but every cap is rounded up to a multiple of 128 so the folded rows
+    are legal Mosaic lane dimensions (and P4 DMA groups)."""
+    caps = []
+    c = cap_in
+    blocks = 1
+    n = n_chunks
+    while n > 1:
+        blocks *= 2
+        c = min(2 * c, budget_eff * blocks + 2)
+        c = -(-c // 128) * 128
+        caps.append(c)
+        n //= 2
+    return caps
+
+
+def fold_plan(n2p: int, capP: int, n_sub: int, budget_eff: int,
+              vmem_budget: int = 6 << 20):
+    """Pick the P3 substream tile so the kernel's VMEM working set fits
+    (input block + output block + ~4 live arrays per merge level).
+    Returns ``(s_tile, caps)`` or ``None`` when even ``s_tile=1`` would
+    blow VMEM — the caller then skips P3 and lets P4 loop over all
+    chunk rows."""
+    caps = fold_caps(capP, n2p, budget_eff)
+
+    def est(s):
+        b = 4 * s * n2p * capP + 4 * s * caps[-1]
+        rows = n2p
+        for c in caps:
+            rows //= 2
+            b += 16 * s * rows * c
+        return b
+
+    s = min(16, n_sub)
+    while s >= 1:
+        if n_sub % s == 0 and est(s) <= vmem_budget:
+            return s, caps
+        s //= 2
+    return None
+
+
+def _merge_nsc(lens, words, cap_out: int):
+    """One pairwise merge level in (N rows, S substreams, C words-on-lanes)
+    layout: pairing reshapes the LEADING axis (free in Mosaic) and the
+    word-granular barrel shift runs along lanes."""
+    N, S, C = words.shape
+    w4 = words.reshape(N // 2, 2, S, C)
+    a = w4[:, 0]
+    b = w4[:, 1]
+    l4 = lens.reshape(N // 2, 2, S)
+    la = l4[:, 0]
+    lb = l4[:, 1]
+    out_len = la + lb
+
+    pad = ((0, 0), (0, 0), (0, cap_out - C))
+    a_ext = jnp.pad(a, pad)
+    b_ext = jnp.pad(b, pad)
+
+    bit_off = (la & 31)[..., None]
+    word_off = (la >> 5)[..., None]
+
+    hi = _shr(b_ext, jnp.broadcast_to(bit_off, b_ext.shape))
+    prev = jnp.concatenate(
+        [jnp.zeros_like(b_ext[..., :1]), b_ext[..., :-1]], axis=-1
+    )
+    lo = _shl(prev, jnp.broadcast_to(32 - bit_off, prev.shape))
+    lo = jnp.where(bit_off == 0, jnp.uint32(0), lo)
+    bb = hi | lo
+
+    k = 1
+    while k <= cap_out:
+        mask = (word_off & k) != 0
+        if k >= cap_out:
+            shifted = jnp.zeros_like(bb)
+        else:
+            shifted = jnp.concatenate(
+                [jnp.zeros_like(bb[..., :k]), bb[..., :-k]], axis=-1
+            )
+        bb = jnp.where(jnp.broadcast_to(mask, bb.shape), shifted, bb)
+        k <<= 1
+
+    merged = a_ext | bb
+    overflow = jnp.any(out_len > 32 * cap_out)
+    return out_len, merged, overflow
+
+
+def _fold_rows_kernel(lens_ref, words_ref, out_w_ref, out_l_ref, *, caps):
+    """Fold one substream-tile's chunk-rows into single rows, entirely in
+    VMEM.  Block layout (1, N, s_tile, C): rows pair on the leading axis,
+    substreams ride sublanes, words ride lanes."""
+    cur_len = lens_ref[0]                 # (N, s_tile) int32
+    cur_w = words_ref[0].astype(U32)      # (N, s_tile, C)
+    overflow = jnp.zeros((), bool)
+    for cap in caps:
+        cur_len, cur_w, ovf = _merge_nsc(cur_len, cur_w, cap)
+        overflow = overflow | ovf
+    out_w_ref[0] = cur_w[0]               # (s_tile, capF)
+    S = cur_len.shape[1]
+    l8 = jnp.concatenate(
+        [
+            cur_len[0][:, None],
+            jnp.broadcast_to(
+                overflow.astype(jnp.int32).reshape(1, 1), (S, 1)
+            ),
+            jnp.zeros((S, 6), jnp.int32),
+        ],
+        axis=1,
+    )
+    out_l_ref[0] = l8
+
+
+@lru_cache(maxsize=128)
+def _build_fold_rows_fn(n2p: int, capP: int, capF: int, n_sub: int,
+                        s_tile: int, budget_eff: int, interpret: bool):
+    """P3: fold each substream's ``n2p`` chunk-rows into ONE row, so the
+    serial P4 concat loop runs over ``n_sub`` rows instead of
+    ``n_sub * n2``.  Grid tiles the substream axis in groups of
+    ``s_tile`` (sized by :func:`fold_plan` to fit VMEM); inputs arrive
+    pre-arranged as (G, n2p, s_tile, capP) so every block's trailing two
+    dims equal the array dims (Mosaic-legal for any s_tile).
+    ``budget_eff`` is the per-chunk word budget (chunk blocks *
+    budget)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    caps = fold_caps(capP, n2p, budget_eff)
+    assert caps[-1] == capF
+    assert n_sub % s_tile == 0
+    G = n_sub // s_tile
+    kern = partial(_fold_rows_kernel, caps=caps)
+    return pl.pallas_call(
+        kern,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, n2p, s_tile), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n2p, s_tile, capP), lambda g: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, s_tile, capF), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_tile, 8), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((G, s_tile, capF), jnp.uint32),
+            jax.ShapeDtypeStruct((G, s_tile, 8), jnp.int32),
+        ],
+        interpret=interpret,
+    )
 
 
 @lru_cache(maxsize=128)
@@ -808,8 +1003,44 @@ def device_scan_pack(
     out_w, out_l = p2(L, X)
     ovf2 = jnp.any(out_l[:, 1, :] != 0)
 
-    rows = jnp.transpose(out_w, (2, 0, 1)).reshape(n_sub * n2, cap_out)
-    row_bits = jnp.transpose(out_l[:, 0, :], (1, 0)).reshape(n_sub * n2)
+    plan = None
+    if n2 > 1:
+        n2p = 1 << (n2 - 1).bit_length()
+        capP = -(-cap_out // 128) * 128
+        budget_eff = budget * chunk
+        plan = fold_plan(n2p, capP, n_sub, budget_eff)
+    if plan is not None:
+        # P3: fold each substream's chunk-rows into one row (zero-length
+        # pow2 padding rows merge as no-ops), cutting P4's serial loop
+        # from n_sub*n2 to n_sub iterations.  Skipped (plan is None) when
+        # even a one-substream tile would blow the VMEM budget — P4 then
+        # loops over all chunk rows, slower but correct.
+        s_tile, caps_f = plan
+        capF = caps_f[-1]
+        G = n_sub // s_tile
+        # (n2, cap, S) -> (G, n2p, s_tile, capP): substream tiles lead,
+        # rows pair on axis 1, words ride lanes.
+        w3 = jnp.transpose(out_w, (2, 0, 1))        # (S, n2, cap)
+        w3 = jnp.pad(w3, ((0, 0), (0, n2p - n2), (0, capP - cap_out)))
+        w3 = jnp.transpose(
+            w3.reshape(G, s_tile, n2p, capP), (0, 2, 1, 3)
+        )
+        l3 = jnp.transpose(out_l[:, 0, :], (1, 0))  # (S, n2)
+        l3 = jnp.pad(l3, ((0, 0), (0, n2p - n2)))
+        l3 = jnp.transpose(l3.reshape(G, s_tile, n2p), (0, 2, 1))
+        p3 = _build_fold_rows_fn(
+            n2p, capP, capF, n_sub, s_tile, budget_eff, interpret
+        )
+        rows, l8 = p3(l3, w3)           # (G, s_tile, capF), (G, s_tile, 8)
+        rows = rows.reshape(n_sub, capF)
+        l8 = l8.reshape(n_sub, 8)
+        ovf2 = ovf2 | jnp.any(l8[:, 1] != 0)
+        row_bits = l8[:, 0]
+        cap_out = capF
+        n2 = 1
+    else:
+        rows = jnp.transpose(out_w, (2, 0, 1)).reshape(n_sub * n2, cap_out)
+        row_bits = jnp.transpose(out_l[:, 0, :], (1, 0)).reshape(n_sub * n2)
     pos = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(row_bits)[:-1]]
     ).astype(jnp.int32)

@@ -127,7 +127,7 @@ class ShardedEncoder(Encoder):
             dcp, acp = pack_tables(tuple(np.asarray(t) for t in tabs))
             dcp_list.append(np.asarray(dcp))
             acp_list.append(np.asarray(acp))
-        dc_packed = np.stack(dcp_list)   # (B, 1, 64)
+        dc_packed = np.stack(dcp_list)   # (B, 1, 128)
         ac_packed = np.stack(acp_list)   # (B, T, 256)
 
         rows_local = geo["rows_per_stripe"]
