@@ -174,11 +174,17 @@ if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--config", type=int, default=0, help="0 = all")
     p.add_argument("--scale-test", action="store_true")
+    p.add_argument(
+        "--config5-size", type=int, default=4096,
+        help="config5 edge length; 16384 is the full BASELINE workload "
+        "(bounded memory via the chunked device path)",
+    )
     args = p.parse_args()
     if args.scale_test:
         scale_test()
     else:
-        runners = [config1, config2, config3, config4, config5]
+        runners = [config1, config2, config3, config4,
+                   lambda: config5(args.config5_size)]
         for i, r in enumerate(runners, 1):
             if args.config in (0, i):
                 r()

@@ -7,6 +7,15 @@ backend initialization, hence here at conftest import time.
 
 import os
 
+# The suite runs with the persistent compile cache OFF: the cache's
+# executable serialize/deserialize path has shown rare native crashes
+# under the suite's large 8-device sharded programs, and suite runs are
+# frequently interrupted mid-write (CI timeouts, Ctrl-C).  Keeping the
+# suite out of the cache also protects the long-lived TPU-program cache
+# from churn.  Must be set before tpuenc's import-time
+# enable_persistent_cache().
+os.environ.setdefault("TPUENC_JAX_CACHE", "0")
+
 import jax
 
 try:

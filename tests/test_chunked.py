@@ -121,3 +121,56 @@ def test_chunked_luma_and_cmyk(monkeypatch):
         [list(p) for p in default_tables()], chunk_mcu_rows=4,
     )
     assert got == want
+
+
+@pytest.mark.parametrize(
+    "name,setup",
+    [
+        ("no_restart", lambda e: None),          # single segment: mid-
+                                                 # segment byte flushing
+        ("restart", lambda e: e.set_restart_interval(4)),
+        ("restart_420", lambda e: (
+            e.set_sampling_factor(SamplingFactor.F_2_2),
+            e.set_restart_interval(3),
+        )),
+    ],
+)
+def test_encode_stream_matches_encode(name, setup, monkeypatch):
+    """encode_stream pieces concatenate to exactly encode()'s bytes and
+    are yielded incrementally (several data pieces before the end)."""
+    rng = np.random.default_rng(21)
+    w, h = 70, 150
+    img = rng.integers(0, 256, (h, w, 3), np.uint8)
+
+    monkeypatch.setenv("TPUENC_DEVICE_ENTROPY", "0")
+    enc = Encoder(85)
+    setup(enc)
+    want = enc.encode(img.tobytes(), w, h, ColorType.RGB)
+
+    monkeypatch.setenv("TPUENC_DEVICE_ENTROPY", "strict")
+    enc2 = Encoder(85)
+    setup(enc2)
+    pieces = list(
+        enc2.encode_stream(img.tobytes(), w, h, ColorType.RGB,
+                           chunk_mcu_rows=2)
+    )
+    assert b"".join(pieces) == want
+    # prefix + >=3 incremental scan pieces + EOI
+    assert len(pieces) >= 5, len(pieces)
+    assert pieces[-1] == b"\xff\xd9"
+    assert enc2.last_encode_path == "device-chunked-stream"
+
+
+def test_encode_stream_multiscan_fallback(monkeypatch):
+    """Progressive (multi-pass) yields the whole body as one piece but
+    still matches encode()."""
+    rng = np.random.default_rng(5)
+    w, h = 40, 40
+    img = rng.integers(0, 256, (h, w, 3), np.uint8)
+    enc = Encoder(80)
+    enc.set_progressive(True)
+    want = enc.encode(img.tobytes(), w, h, ColorType.RGB)
+    enc2 = Encoder(80)
+    enc2.set_progressive(True)
+    got = b"".join(enc2.encode_stream(img.tobytes(), w, h, ColorType.RGB))
+    assert got == want

@@ -69,6 +69,31 @@ def _check_dims(width: int, height: int) -> None:
         raise errors.DimensionsTooLarge(width, height)
 
 
+def _validate_pixels(
+    data, width: int, height: int, color_type: ColorType
+) -> np.ndarray:
+    """Length/dimension validation shared by the encode entry points
+    (reference encoder.rs:447-454); returns the (H, W[, C]) pixel array.
+
+    The u16 range check comes first: in the reference it is a type-level
+    constraint at the API boundary (encoder.rs:443-446), ahead of any
+    data inspection."""
+    if width > 65535 or height > 65535:
+        raise errors.DimensionsTooLarge(width, height)
+    bpp = color_type.bytes_per_pixel
+    flat = np.frombuffer(data, dtype=np.uint8) if isinstance(
+        data, (bytes, bytearray, memoryview)
+    ) else np.asarray(data, dtype=np.uint8).reshape(-1)
+    required = width * height * bpp
+    if flat.size < required:
+        raise errors.BadImageData(flat.size, required)
+    _check_dims(width, height)
+    pixels = flat[:required].reshape(height, width, bpp)
+    if bpp == 1:
+        pixels = pixels[..., 0]
+    return pixels
+
+
 class ImageBuffer(abc.ABC):
     """User-extensible pixel source (reference image_buffer.rs:86-98).
 
@@ -227,20 +252,77 @@ class Encoder:
     ) -> bytes:
         """Encode raw interleaved pixel data (reference encoder.rs:440-503)."""
         color_type = ColorType(color_type)
-        bpp = color_type.bytes_per_pixel
-
-        flat = np.frombuffer(data, dtype=np.uint8) if isinstance(
-            data, (bytes, bytearray, memoryview)
-        ) else np.asarray(data, dtype=np.uint8).reshape(-1)
-        required = width * height * bpp
-        if flat.size < required:
-            raise errors.BadImageData(flat.size, required)
-        _check_dims(width, height)
-
-        pixels = flat[:required].reshape(height, width, bpp)
-        if bpp == 1:
-            pixels = pixels[..., 0]
+        pixels = _validate_pixels(data, width, height, color_type)
         return self._finish(self._encode_pixels(pixels, width, height, color_type))
+
+    def encode_stream(
+        self,
+        data: Union[bytes, np.ndarray],
+        width: int,
+        height: int,
+        color_type: ColorType,
+        chunk_mcu_rows: int = 64,
+    ):
+        """Streaming encode: a generator of byte pieces whose concatenation
+        is byte-identical to :meth:`encode`'s output, produced and released
+        incrementally — the TPU-native equivalent of the reference's
+        streaming ``JfifWrite`` sink (writer.rs:76-106) and MCU-row-streaming
+        encode loop (encoder.rs:699-807).
+
+        Single-scan (interleaved) configurations stream MCU-row bands
+        through the chunked device pipeline with O(chunk) device memory,
+        host memory and retained output.  Multi-pass configurations
+        (progressive, sequential, optimized tables) materialize
+        coefficients by design; they yield the body as one piece.
+
+        Typical sink wiring::
+
+            with open(path, "wb") as f:
+                for piece in enc.encode_stream(px, w, h, ColorType.RGB):
+                    f.write(piece)
+        """
+        import os
+
+        color_type = ColorType(color_type)
+        pixels = _validate_pixels(data, width, height, color_type)
+        config = self._config()
+        device_on = os.environ.get("TPUENC_DEVICE_ENTROPY", "1") != "0"
+        if (
+            config.mode() != "interleaved"
+            or config.optimize_huffman_table
+            or not device_on
+        ):
+            yield self._encode_pixels(pixels, width, height, color_type)
+            return
+
+        from .entropy.chunked import iter_encode_interleaved_chunked
+        from .entropy.device_encode import build_scan_plan
+        from .kernels.pipeline import scan_layout
+
+        jct = color_type.jpeg_color_type
+        components = init_components(jct, config.sampling_factor)
+        q_tables = [
+            quantization_table(config.quantization[0], config.quality, luma=True),
+            quantization_table(config.quantization[1], config.quality, luma=False),
+        ]
+        huffman = [list(pair) for pair in default_tables()]
+
+        prefix = self._leading_segments(config, jct)
+        prefix += self._frame_header(
+            width, height, components, q_tables, huffman, config,
+            len(components),
+        )
+        layout = scan_layout(width, height, color_type, config)
+        ((_, _, spectral),) = build_scan_plan(layout, components, config)
+        prefix += segments.sos(list(components), spectral)
+        yield bytes(prefix)
+
+        self.last_encode_path = "device-chunked-stream"
+        yield from iter_encode_interleaved_chunked(
+            pixels, width, height, color_type, config, huffman,
+            chunk_mcu_rows,
+        )
+        yield segments.marker(markers.EOI)
 
     def encode_image(self, image: ImageBuffer) -> bytes:
         """Encode a user-supplied :class:`ImageBuffer`
@@ -372,6 +454,20 @@ class Encoder:
             raise errors.WriteError(str(e)) from e
         return payload
 
+    def _leading_segments(self, config, jct) -> bytearray:
+        """SOI + JFIF APP0 + (Adobe APP14) + user APP segments — everything
+        before the frame header (reference encoder.rs:536-554)."""
+        out = bytearray()
+        out += segments.marker(markers.SOI)
+        out += segments.app0_jfif(config.density)
+        if jct is JpegColorType.CMYK:
+            out += segments.app14_adobe(0)
+        elif jct is JpegColorType.YCCK:
+            out += segments.app14_adobe(2)
+        for nr, data in self._app_segments:
+            out += segments.segment(markers.APP(nr), data)
+        return out
+
     def _encode_pixels(
         self, pixels: np.ndarray, width: int, height: int, color_type: ColorType
     ) -> bytes:
@@ -385,15 +481,7 @@ class Encoder:
         ]
         huffman = [list(pair) for pair in default_tables()]
 
-        out = bytearray()
-        out += segments.marker(markers.SOI)
-        out += segments.app0_jfif(config.density)
-        if jct is JpegColorType.CMYK:
-            out += segments.app14_adobe(0)
-        elif jct is JpegColorType.YCCK:
-            out += segments.app14_adobe(2)
-        for nr, data in self._app_segments:
-            out += segments.segment(markers.APP(nr), data)
+        out = self._leading_segments(config, jct)
 
         body = self._encode_body_device(
             pixels, width, height, color_type, config, components,

@@ -33,7 +33,7 @@ import numpy as np
 
 from ..core.tables import quantization_table
 from ..core.types import ColorType, EncoderConfig, init_components, max_sampling
-from . import native
+
 
 
 def append_bits(dst: bytearray, dst_bits: int, src: np.ndarray,
@@ -80,6 +80,132 @@ class BitAccumulator:
     def append_words(self, words: np.ndarray, nbits: int) -> None:
         data = np.ascontiguousarray(words.astype(">u4")).view(np.uint8)
         self.bits = append_bits(self.buf, self.bits, data, int(nbits))
+
+
+def _extract_bytes(buf: bytearray, rel_bit: int, nbytes: int) -> bytes:
+    """Whole output bytes [rel_bit, rel_bit + 8*nbytes) of the raw bit
+    buffer, MSB-first (vectorized shift)."""
+    if nbytes <= 0:
+        return b""
+    b0 = rel_bit >> 3
+    sh = rel_bit & 7
+    a = np.frombuffer(bytes(memoryview(buf)[b0 : b0 + nbytes + 1]), np.uint8)
+    if sh == 0:
+        return a[:nbytes].tobytes()
+    if a.shape[0] < nbytes + 1:
+        a = np.concatenate([a, np.zeros(nbytes + 1 - a.shape[0], np.uint8)])
+    w = (a.astype(np.uint16) << 8)
+    out = ((w[:-1] | a[1:]) >> (8 - sh)).astype(np.uint8)
+    return out.tobytes()
+
+
+class StreamingStuffer:
+    """Incrementally turn the raw device bitstream into the final stuffed,
+    RST-marker-interleaved scan bytes with O(pending-chunk) memory.
+
+    Segments start byte-aligned in the output (1-padded tails), so any
+    whole output byte of the current segment is final as soon as its bits
+    exist — it can be 0xFF-stuffed (0xFF -> 0xFF 0x00) and flushed
+    immediately, mirroring the reference's streaming bit writer
+    (writer.rs:138-202) at chunk granularity.
+    """
+
+    def __init__(self, seg_blocks: int, total_blocks: int):
+        self.seg = max(int(seg_blocks), 1)
+        self.total = int(total_blocks)
+        self.n_seg = -(-self.total // self.seg) if self.total else 1
+        self.acc = BitAccumulator()
+        self.base_bit = 0       # absolute bit index of acc.buf[0] bit 0
+        self.read_bit = 0       # absolute next-unflushed bit
+        self.blocks_done = 0
+        self.seg_idx = 0
+        self.seg_bits = 0       # bits fed into the current segment so far
+        self.seg_flushed = 0    # whole bytes of the current segment flushed
+
+    def _seg_len(self, idx: int) -> int:
+        if idx == self.n_seg - 1:
+            return self.total - idx * self.seg
+        return self.seg
+
+    def add_chunk(self, words: np.ndarray, nbits: int,
+                  lens: np.ndarray) -> bytes:
+        """Feed one device chunk (packed words + per-block bit lengths);
+        returns the output bytes that became final."""
+        self.acc.append_words(words, nbits)
+        out = bytearray()
+        lens = np.asarray(lens, dtype=np.int64)
+        pos = 0
+        n = lens.shape[0]
+        while pos < n:
+            room = self._seg_len(self.seg_idx) - (
+                self.blocks_done - self.seg_idx * self.seg
+            )
+            take = min(room, n - pos)
+            self.seg_bits += int(lens[pos : pos + take].sum())
+            self.blocks_done += take
+            pos += take
+            if take == room:
+                self._finish_segment(out)
+        # Mid-segment: flush any whole bytes that are already final.
+        avail = (self.seg_bits - 8 * self.seg_flushed) >> 3
+        if avail > 0:
+            raw = _extract_bytes(
+                self.acc.buf, self.read_bit - self.base_bit, avail
+            )
+            out += raw.replace(b"\xff", b"\xff\x00")
+            self.read_bit += 8 * avail
+            self.seg_flushed += avail
+        self._compact()
+        return bytes(out)
+
+    def _finish_segment(self, out: bytearray) -> None:
+        nbits = self.seg_bits - 8 * self.seg_flushed
+        if nbits > 0:
+            whole = nbits >> 3
+            raw = _extract_bytes(
+                self.acc.buf, self.read_bit - self.base_bit, whole
+            )
+            out += raw.replace(b"\xff", b"\xff\x00")
+            rem = nbits & 7
+            if rem:
+                rel = self.read_bit - self.base_bit + 8 * whole
+                b0 = rel >> 3
+                window = int.from_bytes(self.acc.buf[b0 : b0 + 2], "big") \
+                    if b0 + 1 < len(self.acc.buf) else \
+                    int.from_bytes(
+                        self.acc.buf[b0 : b0 + 1] + b"\x00", "big"
+                    )
+                sh = rel & 7
+                bits = (window >> (16 - sh - rem)) & ((1 << rem) - 1)
+                pad = 8 - rem
+                byte = (bits << pad) | ((1 << pad) - 1)
+                out.append(byte)
+                if byte == 0xFF:
+                    out.append(0x00)
+            self.read_bit += nbits
+        self.seg_idx += 1
+        self.seg_bits = 0
+        self.seg_flushed = 0
+        if self.seg_idx < self.n_seg:
+            out += bytes((0xFF, 0xD0 + ((self.seg_idx - 1) & 7)))
+
+    def finish(self) -> bytes:
+        """Assert all blocks were fed; every byte was already flushed by
+        :meth:`add_chunk` (the final segment closes with its last block)."""
+        if self.blocks_done != self.total:
+            raise ValueError(
+                f"fed {self.blocks_done} blocks, expected {self.total}"
+            )
+        if self.seg_idx != self.n_seg:
+            raise ValueError("segment accounting mismatch")
+        return b""
+
+    def _compact(self) -> None:
+        drop = (self.read_bit - self.base_bit) >> 3
+        if drop > 4096:
+            del self.acc.buf[:drop]
+            self.base_bit += 8 * drop
+            self.acc.bits -= 8 * drop
 
 
 @lru_cache(maxsize=16)
@@ -157,7 +283,7 @@ def _build_chunk_fn(
     return jax.jit(fn), spec, pat, num_cols
 
 
-def encode_interleaved_chunked(
+def iter_encode_interleaved_chunked(
     pixels: np.ndarray,
     width: int,
     height: int,
@@ -166,10 +292,15 @@ def encode_interleaved_chunked(
     huffman,
     chunk_mcu_rows: int = 64,
 ):
-    """Bounded-memory interleaved scan encode.
+    """Bounded-memory interleaved scan encode, yielding final scan bytes
+    (stuffed, RST markers inline) as each MCU-row band completes.
 
-    Returns the single scan's entropy bytes (stuffed, with RST markers)
-    or None if every budget overflows (pathological content).
+    This is the streaming-sink path (reference model: O(row) streaming
+    writes, ``encoder.rs:699-807`` / ``writer.rs:76-106``): device memory,
+    host memory, transfers AND the retained output are all O(chunk).
+    Budget overflows escalate per-chunk (packed bits are
+    budget-independent), so already-yielded bytes stay valid; the top
+    ladder budget is worst-case safe and cannot overflow.
     """
     from ..entropy.device_encode import BUDGET_LADDER, tables_to_device
     from .pallas_pack import pack_tables
@@ -207,46 +338,67 @@ def encode_interleaved_chunked(
         pad = [(0, pad_y), (0, pad_w - width)] + [(0, 0)] * (slab.ndim - 2)
         return np.pad(slab, pad, mode="edge")
 
-    for budget in BUDGET_LADDER:
-        spec_seg = None
-        acc = BitAccumulator()
-        all_lens = []
-        prev_tail = None
-        go = 0
-        overflowed = False
-        for ci in range(n_full + (1 if rem_rows else 0)):
-            nrows = chunk_mcu_rows if ci < n_full else rem_rows
+    budgets = list(BUDGET_LADDER)
+    stuffer = None
+    prev_tail = None
+    go = 0
+    for ci in range(n_full + (1 if rem_rows else 0)):
+        nrows = chunk_mcu_rows if ci < n_full else rem_rows
+        while True:
             fn, spec, pat, _ = _build_chunk_fn(
-                width, nrows, color_type, config, budget
+                width, nrows, color_type, config, budgets[0]
             )
             if prev_tail is None:
                 prev_tail = jnp.zeros((pat,), jnp.int32)
-            spec_seg = spec.seg_blocks
+            if stuffer is None:
+                seg = spec.seg_blocks if spec.seg_blocks > 0 else total_blocks
+                stuffer = StreamingStuffer(seg, total_blocks)
             px = chunk_pixels(ci * chunk_mcu_rows, nrows)
             stream, meta, lens, last_tail = fn(
                 jax.device_put(px), prev_tail,
                 jnp.asarray(go, jnp.int32), dc_packed, ac_packed,
             )
             meta_np = np.asarray(meta)
-            if meta_np[0]:
-                overflowed = True
+            if not meta_np[0]:
                 break
-            acc.append_words(np.asarray(stream), int(meta_np[1]))
-            all_lens.append(np.asarray(lens).astype(np.int64))
-            prev_tail = last_tail
-            go += nrows * num_cols * bpm
-        if overflowed:
-            continue
+            if len(budgets) == 1:  # top budget is worst-case safe
+                raise RuntimeError("chunked pack overflow at max budget")
+            budgets.pop(0)  # escalate THIS chunk; earlier bytes stay valid
+        nblocks = nrows * num_cols * bpm
+        piece = stuffer.add_chunk(
+            np.asarray(stream), int(meta_np[1]),
+            np.asarray(lens)[:nblocks].astype(np.int64),
+        )
+        prev_tail = last_tail
+        go += nblocks
+        if piece:
+            yield piece
+    tail = stuffer.finish() if stuffer is not None else b""
+    if tail:
+        yield tail
 
-        lens_all = np.concatenate(all_lens)[:total_blocks]
-        seg = spec_seg if spec_seg and spec_seg > 0 else total_blocks
-        n_seg = -(-total_blocks // seg)
-        padded = np.pad(lens_all, (0, n_seg * seg - total_blocks))
-        seg_bits = padded.reshape(n_seg, seg).sum(axis=1)
 
-        data = bytes(acc.buf)
-        stuffed = native.realign_segments(data, seg_bits)
-        if stuffed is None:
-            stuffed = native.realign_segments_py(data, seg_bits.tolist())
-        return stuffed
-    return None
+def encode_interleaved_chunked(
+    pixels: np.ndarray,
+    width: int,
+    height: int,
+    color_type: ColorType,
+    config: EncoderConfig,
+    huffman,
+    chunk_mcu_rows: int = 64,
+):
+    """Whole-scan wrapper over :func:`iter_encode_interleaved_chunked`.
+
+    Returns the single scan's entropy bytes (stuffed, with RST markers)
+    or None if the pack overflows even the worst-case budget (cannot
+    happen by construction; kept for the caller's fallback contract).
+    """
+    try:
+        return b"".join(
+            iter_encode_interleaved_chunked(
+                pixels, width, height, color_type, config, huffman,
+                chunk_mcu_rows,
+            )
+        )
+    except RuntimeError:
+        return None
