@@ -243,3 +243,48 @@ else:
                 [0, 1, 3, 17][i % 4],
                 i,
             )
+
+
+if HAVE_HYPOTHESIS:
+
+    @settings(
+        max_examples=int(os.environ.get("TPUENC_FUZZ_EXAMPLES", "15")),
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        w=st.integers(1, 48),
+        h=st.integers(9, 80),
+        quality=st.integers(1, 100),
+        ct=st.sampled_from([ColorType.LUMA, ColorType.RGB, ColorType.CMYK]),
+        factor=st.sampled_from(FACTORS[:4]),
+        restart=st.sampled_from([0, 1, 3, 7, 64]),
+        chunk=st.integers(1, 5),
+        seed=st.integers(0, 2**31),
+    )
+    def test_fuzz_encode_stream_parity(
+        w, h, quality, ct, factor, restart, chunk, seed
+    ):
+        """encode_stream's concatenated pieces must equal encode()'s bytes
+        for arbitrary shapes, sampling, restart intervals and chunk sizes
+        (exercises StreamingStuffer's mid-segment flushes, tail padding,
+        RST numbering and per-chunk DC chains)."""
+        if not SamplingFactor(factor).supports_interleaved():
+            factor = SamplingFactor.F_1_1
+        rng = np.random.default_rng(seed)
+        data = rng.integers(
+            0, 256, size=w * h * ct.bytes_per_pixel, dtype=np.uint8
+        ).tobytes()
+        enc = Encoder(quality)
+        enc.set_sampling_factor(factor)
+        if restart:
+            enc.set_restart_interval(restart)
+        want = enc.encode(data, w, h, ct)
+        enc2 = Encoder(quality)
+        enc2.set_sampling_factor(factor)
+        if restart:
+            enc2.set_restart_interval(restart)
+        got = b"".join(
+            enc2.encode_stream(data, w, h, ct, chunk_mcu_rows=chunk)
+        )
+        assert got == want
