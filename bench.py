@@ -202,11 +202,43 @@ def bench_stages(setup, img, w, h):
     return rows
 
 
+def profile_trace(setup, img, w, h, trace_dir):
+    """Capture a jax.profiler trace of the warm fused encode program
+    (SURVEY §5 tracing: attribute device time per kernel/fusion)."""
+    import jax
+
+    from tpuenc.core.tables import default_tables
+    from tpuenc.core.types import ColorType, EncoderConfig, SamplingFactor
+    from tpuenc.entropy import device_encode as de
+
+    config = EncoderConfig(
+        quality=setup["quality"], sampling_factor=SamplingFactor.F_1_1
+    )
+    huffman = [list(p) for p in default_tables()]
+    tabs = de.tables_to_device(huffman)
+    fn, _, _ = de._build_fused_fn(
+        w, h, ColorType.RGB, config, 16, de.pack_version()
+    )
+    dimg = jax.device_put(img)
+    buf, meta = fn(dimg, *tabs)  # warm (compile outside the trace)
+    np.asarray(meta)
+    with jax.profiler.trace(trace_dir):
+        for _ in range(3):
+            buf, meta = fn(dimg, *tabs)
+        np.asarray(meta)
+    print(f"profiler trace written to {trace_dir}", file=sys.stderr)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--all", action="store_true")
     parser.add_argument("--size", default="2000x1800")
     parser.add_argument("--batch", type=int, default=4)
+    parser.add_argument(
+        "--profile", metavar="DIR", default=None,
+        help="capture a jax.profiler trace of the warm fused encode "
+        "program into DIR (open with tensorboard/xprof)",
+    )
     args = parser.parse_args()
 
     from tpuenc import ColorType, SamplingFactor
@@ -218,6 +250,9 @@ def main():
     q90 = {"quality": 90}
     headline, _ = bench_batch(q90, imgs, w, h, ColorType.RGB)
     print(f"batched e2e q90 4:4:4            {headline:9.1f} MP/s", file=sys.stderr)
+
+    if args.profile:
+        profile_trace(q90, img, w, h, args.profile)
 
     dev_mps = None
     try:
