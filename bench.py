@@ -290,6 +290,23 @@ def main():
             mps, size = bench_single(setup, img, w, h, ColorType.RGB, iters=2)
             print(f"{name:32s} {mps:9.1f} MP/s  {size:9d} B", file=sys.stderr)
 
+        # Streaming encode (O(chunk) memory sink path).
+        from tpuenc import Encoder
+
+        enc = Encoder(90)
+        enc.set_restart_interval(64)
+        t0 = time.perf_counter()
+        n = sum(len(p) for p in enc.encode_stream(img, w, h, ColorType.RGB))
+        dt = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        n = sum(len(p) for p in enc.encode_stream(img, w, h, ColorType.RGB))
+        dt = time.perf_counter() - t0
+        print(
+            f"{'encode_stream q90 restart64':32s} {w*h/1e6/dt:9.1f} MP/s"
+            f"  {n:9d} B  ({enc.last_encode_path})",
+            file=sys.stderr,
+        )
+
     # The headline metric is the device-resident engine throughput (the
     # e2e number on this rig is bounded by a ~30 MB/s tunneled link, which
     # a production host-TPU attachment does not have).
