@@ -164,8 +164,13 @@ def _merge_ncT(lens, words, cap_out):
     lo = jnp.where(bit_off == 0, jnp.uint32(0), lo)
     bb = hi | lo
 
+    # word_off = la >> 5 <= C (a's capacity is C words), so the barrel
+    # shift only needs to cover powers up to C, not cap_out ~= 2C —
+    # drops the widest (full-array) iteration per level.  Post-overflow
+    # lengths can exceed this bound, but overflowed results are
+    # discarded by budget escalation anyway.
     k = 1
-    while k <= cap_out:
+    while k <= C:
         mask = (word_off & k) != 0
         if k >= cap_out:  # full shift-out (zero-size slices don't lower)
             shifted = jnp.zeros_like(bb)
@@ -712,8 +717,9 @@ def _merge_nsc(lens, words, cap_out: int):
     lo = jnp.where(bit_off == 0, jnp.uint32(0), lo)
     bb = hi | lo
 
+    # Same bound as _merge_ncT: word_off <= C (see comment there).
     k = 1
-    while k <= cap_out:
+    while k <= C:
         mask = (word_off & k) != 0
         if k >= cap_out:
             shifted = jnp.zeros_like(bb)
