@@ -153,14 +153,20 @@ def _merge_ncT(lens, words, cap_out):
     a_ext = jnp.pad(a, pad)
     b_ext = jnp.pad(b, pad)
 
-    bit_off = la & 31  # int32; shift helpers clamp/cast internally
+    # Shift amounts are provably in [0, 31] here (bit_off = la & 31, and
+    # the lo-shift is masked at bit_off == 0), so the generic >=32 guards
+    # of _shr/_shl are dead weight — plain shifts save ~1/3 of the whole
+    # P1 kernel (measured).
+    bit_off = la & 31
     word_off = la >> 5
 
-    hi = _shr(b_ext, jnp.broadcast_to(bit_off, b_ext.shape))
+    bo = jnp.broadcast_to((la & 31).astype(U32), b_ext.shape)
+    hi = jnp.right_shift(b_ext, bo)
     prev = jnp.concatenate(
         [jnp.zeros_like(b_ext[:, :1]), b_ext[:, :-1]], axis=1
     )
-    lo = _shl(prev, jnp.broadcast_to(32 - bit_off, prev.shape))
+    inv = jnp.broadcast_to(((32 - la) & 31).astype(U32), prev.shape)
+    lo = jnp.left_shift(prev, inv)
     lo = jnp.where(bit_off == 0, jnp.uint32(0), lo)
     bb = hi | lo
 
@@ -706,14 +712,21 @@ def _merge_nsc(lens, words, cap_out: int):
     a_ext = jnp.pad(a, pad)
     b_ext = jnp.pad(b, pad)
 
+    # Guard-free shifts: amounts in [0, 31] by construction (see
+    # _merge_ncT).
     bit_off = (la & 31)[..., None]
     word_off = (la >> 5)[..., None]
 
-    hi = _shr(b_ext, jnp.broadcast_to(bit_off, b_ext.shape))
+    hi = jnp.right_shift(
+        b_ext, jnp.broadcast_to(bit_off.astype(U32), b_ext.shape)
+    )
     prev = jnp.concatenate(
         [jnp.zeros_like(b_ext[..., :1]), b_ext[..., :-1]], axis=-1
     )
-    lo = _shl(prev, jnp.broadcast_to(32 - bit_off, prev.shape))
+    inv = jnp.broadcast_to(
+        (((32 - la) & 31)[..., None]).astype(U32), prev.shape
+    )
+    lo = jnp.left_shift(prev, inv)
     lo = jnp.where(bit_off == 0, jnp.uint32(0), lo)
     bb = hi | lo
 
@@ -869,15 +882,17 @@ def _concat_rows_kernel(pos_ref, bits_ref, rows_ref, out_ref,
         d = woff - base          # in-group word offset, [0, 128)
         phase = pos & 31
 
+        # phase in [0, 31]: guard-free shifts (see _merge_ncT).
+        inv = jnp.uint32((32 - phase) & 31)
         rv = rows_ref[pl.ds(i, 1), :].astype(U32)          # (1, W)
-        hi = _shr(rv, jnp.full((1, W), phase, jnp.int32))
+        hi = jnp.right_shift(rv, jnp.full((1, W), phase.astype(U32)))
         prev = jnp.concatenate(
             [jnp.zeros((1, 1), U32), rv[:, :-1]], axis=1
         )
-        lo = _shl(prev, jnp.full((1, W), 32 - phase, jnp.int32))
+        lo = jnp.left_shift(prev, jnp.full((1, W), inv))
         lo = jnp.where(phase == 0, jnp.uint32(0), lo)
         sh = hi | lo
-        tail = _shl(rv[:, W - 1:W], jnp.full((1, 1), 32 - phase, jnp.int32))
+        tail = jnp.left_shift(rv[:, W - 1:W], jnp.full((1, 1), inv))
         tail = jnp.where(phase == 0, jnp.uint32(0), tail)
         stage = jnp.concatenate(
             [sh, tail, jnp.zeros((1, STG - W - 1), U32)], axis=1
