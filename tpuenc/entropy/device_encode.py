@@ -156,7 +156,7 @@ def pack_version() -> str:
 
 
 def _pack_scans_v2(comp_streams, scan_plan, dc_packed, ac_packed, budget,
-                   interpret=False):
+                   interpret=False, cm=False):
     """Pallas-pipeline analog of :func:`_pack_scans`.
 
     Scans are packed as raw (unaligned) bitstreams and placed into one
@@ -173,9 +173,10 @@ def _pack_scans_v2(comp_streams, scan_plan, dc_packed, ac_packed, budget,
     for stream_idx, spec, _ in scan_plan:
         blocks = comp_streams[stream_idx]
         stream, bits, lens, ovf = device_scan_pack(
-            blocks, spec, dc_packed, ac_packed, budget, interpret=interpret
+            blocks, spec, dc_packed, ac_packed, budget, interpret=interpret,
+            cm=cm,
         )
-        B = blocks.shape[0]
+        B = blocks.shape[1] if cm else blocks.shape[0]
         seg = spec.seg_blocks if spec.seg_blocks > 0 else B
         n_seg = -(-B // seg)
         lens_real = lens[:B]
@@ -301,7 +302,11 @@ def _build_fused_fn(
     # Re-create the coefficient pipeline inline so everything fuses into a
     # single program.
     coeff_fn, _ = _build_coefficients_fn(width, height, color_type, config, False)
-    inner = coeff_fn.raw_fn  # the untraced body
+    # v2 + Pallas fDCT: the whole program runs coefficient-major (64, B)
+    # end-to-end — no blockify/MCU-order/pack transposes (measured ~1.5 ms
+    # per 3.6 MP saved vs the block-major layout round trips).
+    cm = version == "v2" and coeff_fn.raw_fn_cm is not None
+    inner = coeff_fn.raw_fn_cm if cm else coeff_fn.raw_fn
     interpret = jax.default_backend() != "tpu"
 
     def fn(pixels, dc_sizes, dc_codes, ac_sizes, ac_codes):
@@ -311,7 +316,7 @@ def _build_fused_fn(
                 dc_sizes, dc_codes, ac_sizes, ac_codes
             )
             return _pack_scans_v2(
-                streams, scan_plan, dc_p, ac_p, budget, interpret
+                streams, scan_plan, dc_p, ac_p, budget, interpret, cm=cm
             )
         return _pack_scans(
             streams, scan_plan, None,
@@ -560,13 +565,14 @@ def _build_fused_batch_fn(
     coeff_fn, _ = _build_coefficients_fn(
         width, height, color_type, config, True
     )
-    inner = coeff_fn.raw_fn
+    cm = version == "v2" and coeff_fn.raw_fn_cm is not None
+    inner = coeff_fn.raw_fn_cm if cm else coeff_fn.raw_fn
 
     interpret = jax.default_backend() != "tpu"
 
     def fn(pixels, dc_sizes, dc_codes, ac_sizes, ac_codes):
-        streams = inner(pixels)  # ((N, B_img, 64),)
-        blocks = streams[0].reshape(-1, 64)
+        streams = inner(pixels)  # ((N, B_img, 64),) or cm ((64, N*B_img),)
+        blocks = streams[0] if cm else streams[0].reshape(-1, 64)
         if version == "v2":
             from .pallas_pack import device_scan_pack
 
@@ -574,9 +580,10 @@ def _build_fused_batch_fn(
                 dc_sizes, dc_codes, ac_sizes, ac_codes
             )
             stream, bits, lens, ovf = device_scan_pack(
-                blocks, spec, dc_p, ac_p, budget, interpret=interpret
+                blocks, spec, dc_p, ac_p, budget, interpret=interpret,
+                cm=cm,
             )
-            Btot = blocks.shape[0]
+            Btot = blocks.shape[1] if cm else blocks.shape[0]
             n_seg = -(-Btot // seg)
             padded = jnp.pad(lens[:Btot], (0, n_seg * seg - Btot))
             seg_bits = padded.reshape(n_seg, seg).sum(axis=1)

@@ -453,6 +453,7 @@ def _build_pack_blocks_fn(
     budget: int,
     n_actabs: int,
     interpret: bool,
+    cm: bool = False,
 ):
     """jit(q_padded, dcdiff, dc_packed, ac_packed) ->
     (words (Bp, capB) u32, lens (Bp,) i32, overflow bool)."""
@@ -493,8 +494,9 @@ def _build_pack_blocks_fn(
     )
 
     def fn(q_padded, dcdiff, dc_packed, ac_packed):
+        q_cm = q_padded if cm else q_padded.T
         words_t, lens_t = call(
-            q_padded.T, dcdiff.reshape(1, -1), dc_packed, ac_packed,
+            q_cm, dcdiff.reshape(1, -1), dc_packed, ac_packed,
         )
         # (G, capB, T) -> (G*T, capB); lens slab row 0 -> (G*T,), row 1 ->
         # per-tile overflow flags.
@@ -520,8 +522,16 @@ def dc_diffs_for_spec(blocks, spec: ScanSpec, prev_tail=None,
     this chunk in the global stream, and ``global_offset`` (traced
     scalar, a multiple of the pattern length) is the chunk's first global
     block index, fixing restart geometry and predictor resets."""
-    B = blocks.shape[0]
-    dc = blocks[:, 0].astype(jnp.int32)
+    return dc_diffs_from_dc(
+        blocks[:, 0], spec, prev_tail=prev_tail, global_offset=global_offset
+    )
+
+
+def dc_diffs_from_dc(dc, spec: ScanSpec, prev_tail=None, global_offset=None):
+    """Same as :func:`dc_diffs_for_spec` but from the (B,) DC coefficient
+    row directly (coefficient-major callers pass ``stream_cm[0]``)."""
+    B = dc.shape[0]
+    dc = dc.astype(jnp.int32)
     pat = len(spec.dc_tab_pattern)
     bidx = jnp.arange(B, dtype=jnp.int32)
     pos_in_pat = bidx % pat
@@ -586,30 +596,36 @@ def scan_pack_blocks(
     tile: int = 256,
     interpret: bool = False,
     dcdiff=None,
+    cm: bool = False,
 ):
     """Pack one scan: (B, 64) int blocks -> per-block bitstrings + lens.
 
     Returns (words (Bp, capB) u32, lens (Bp,) i32, overflow).  Bp is B
     rounded up to the tile size; padding blocks have len 0.  ``dcdiff``
     overrides the internally-computed DC differentials (mid-stream
-    chunk/stripe packing, see :func:`dc_diffs_for_spec`).
+    chunk/stripe packing, see :func:`dc_diffs_for_spec`).  With
+    ``cm=True`` the blocks arrive coefficient-major as (64, B) — the
+    kernel's native layout — and no transpose is emitted at all.
     """
-    B = blocks.shape[0]
+    B = blocks.shape[1] if cm else blocks.shape[0]
     n_tiles = -(-B // tile)
     Bp = n_tiles * tile
     q = blocks.astype(jnp.int32)
     if dcdiff is None:
-        dcdiff = dc_diffs_for_spec(q, spec) if spec.emit_dc else jnp.zeros(
-            (B,), jnp.int32
-        )
+        if spec.emit_dc:
+            dc_row = q[0] if cm else q[:, 0]
+            dcdiff = dc_diffs_from_dc(dc_row, spec)
+        else:
+            dcdiff = jnp.zeros((B,), jnp.int32)
     else:
         dcdiff = dcdiff.astype(jnp.int32)
     if Bp != B:
-        q = jnp.pad(q, ((0, Bp - B), (0, 0)))
+        q = jnp.pad(q, ((0, 0), (0, Bp - B)) if cm else ((0, Bp - B), (0, 0)))
         dcdiff = jnp.pad(dcdiff, (0, Bp - B))
 
     fn = _build_pack_blocks_fn(
-        tile, B, n_tiles, spec, budget, int(ac_packed.shape[0]), interpret
+        tile, B, n_tiles, spec, budget, int(ac_packed.shape[0]), interpret,
+        cm,
     )
     return fn(q, dcdiff[:, None], dc_packed, ac_packed)
 
@@ -979,9 +995,12 @@ def device_scan_pack(
     interpret: bool = False,
     dcdiff=None,
     valid_blocks=None,
+    cm: bool = False,
 ):
     """Full device pack: (B, 64) blocks -> (stream_words, total_bits,
     block_bits (B,), overflow), entirely in three Pallas stages.
+    ``cm=True`` takes coefficient-major (64, B) blocks (see
+    :func:`scan_pack_blocks`).
 
     The stream is a raw bit concatenation of per-block codes (no segment
     alignment); callers derive per-segment bit lengths from ``block_bits``
@@ -992,10 +1011,10 @@ def device_scan_pack(
     of alignment-padding blocks so they contribute no bits (used by the
     striped path whose last stripe carries padding MCU rows).
     """
-    B = blocks.shape[0]
+    B = blocks.shape[1] if cm else blocks.shape[0]
     words, lens, ovf1 = scan_pack_blocks(
         blocks, spec, dc_packed, ac_packed, budget,
-        tile=tile, interpret=interpret, dcdiff=dcdiff,
+        tile=tile, interpret=interpret, dcdiff=dcdiff, cm=cm,
     )
     Bp, capB = words.shape
     if valid_blocks is not None:

@@ -154,6 +154,28 @@ def _build(n_tiles: int):
     )
 
 
+def fdct_quantize_pallas_cm(x_cm, table: QuantizationTable):
+    """Coefficient-major fused transform: ``x_cm`` is int (64, B) with
+    sample index on sublanes and block index on lanes — the kernel's
+    native layout, so no transposes are emitted at all.  Returns int16
+    (64, B) zigzag-ordered quantized coefficients (bit-exact with
+    :func:`fdct_quantize_pallas` transposed)."""
+    B = x_cm.shape[1]
+    n_tiles = -(-B // _TILE_B)
+    padded = n_tiles * _TILE_B
+    x = x_cm.astype(jnp.int32)
+    if padded != B:
+        x = jnp.pad(x, ((0, 0), (0, padded - B)))
+    recip = jnp.asarray(
+        np.asarray(table.reciprocals)[ZIGZAG].reshape(64, 1)
+    )
+    corr = jnp.asarray(
+        np.asarray(table.corrections)[ZIGZAG].reshape(64, 1)
+    )
+    out = _build(n_tiles)(x, recip, corr)
+    return out[:, :B]
+
+
 def fdct_quantize_pallas(blocks, table: QuantizationTable):
     """Fused transform for a batch of level-shifted blocks.
 
