@@ -156,30 +156,48 @@ def bench_stages(setup, img, w, h):
     rows = []
 
     coeff_fn, layout = coefficients_fn(w, h, ColorType.RGB, config)
+    version = de.pack_version()
+    # Measure the layout the fused path actually runs: coefficient-major
+    # on the Pallas+v2 path, block-major otherwise.
+    cm = version == "v2" and coeff_fn.raw_fn_cm is not None
+    inner = coeff_fn.raw_fn_cm if cm else coeff_fn.raw_fn
     dimg = jax.device_put(img)
-    streams = coeff_fn(dimg)
     # Reduce to a scalar inside jit so timing excludes the result transfer.
     cf = jax.jit(
-        lambda px: sum(s.astype(jnp.int32).sum()
-                       for s in coeff_fn.raw_fn(px))
+        lambda px: sum(s.astype(jnp.int32).sum() for s in inner(px))
     )
     cf(dimg)
     ms = _amortized_ms(lambda: cf(dimg))
     from tpuenc.kernels.pipeline import _use_pallas_fdct
 
-    fdct_path = "pallas" if _use_pallas_fdct() else "xla"
+    fdct_path = "pallas-cm" if cm else (
+        "pallas" if _use_pallas_fdct() else "xla"
+    )
     rows.append((f"coefficients (color+fdct+quant, {fdct_path})", ms))
 
     # Entropy pack alone on the real coefficient stream.
-    version = de.pack_version()
-    pfn, plan, segst = de._build_pack_only_fn(
-        w, h, ColorType.RGB, config, 16, version
-    )
-    huffman = [list(p) for p in default_tables()]
-    tabs = de.tables_to_device(huffman)
-    streams = tuple(jnp.asarray(s) for s in streams)
-    ms = _amortized_ms(lambda: pfn(streams, *tabs))
-    rows.append((f"entropy pack ({version})", ms))
+    streams = tuple(jnp.asarray(s) for s in jax.jit(inner)(dimg))
+    if cm:
+        from tpuenc.entropy.pallas_pack import device_scan_pack, pack_tables
+
+        huffman = [list(p) for p in default_tables()]
+        dc_p, ac_p = pack_tables(de.tables_to_arrays(huffman))
+        plan = de.build_scan_plan(layout, layout["components"], config)
+        ((_, spec, _),) = plan
+        pk = jax.jit(
+            lambda s: device_scan_pack(s, spec, dc_p, ac_p, 16, cm=True)[:2]
+        )
+        pk(streams[0])
+        ms = _amortized_ms(lambda: pk(streams[0]))
+    else:
+        pfn, plan, segst = de._build_pack_only_fn(
+            w, h, ColorType.RGB, config, 16, version
+        )
+        huffman = [list(p) for p in default_tables()]
+        tabs = de.tables_to_device(huffman)
+        pfn(streams, *tabs)
+        ms = _amortized_ms(lambda: pfn(streams, *tabs))
+    rows.append((f"entropy pack ({version}{'-cm' if cm else ''})", ms))
 
     # fdct micro-bench (criterion fdct.rs analog, batched form).  Outputs
     # reduce to a scalar inside jit so timing excludes the result transfer.

@@ -85,21 +85,6 @@ def _bit_length(av):
     return jnp.where(av == 0, 0, size)
 
 
-def _append_bits(lens, w0, w1, w2, bits, blen):
-    """Append ``blen`` (<=32) low-aligned bits to MSB-aligned 96-bit
-    registers held as three uint32 arrays.  Same math as
-    device_pack.reg96_append."""
-    bits = bits.astype(U32) & _mask(blen)
-    end = lens + blen
-    out = []
-    for j, w in enumerate((w0, w1, w2)):
-        rs = end - 32 * (j + 1)
-        c = jnp.where(rs >= 0, _shr(bits, rs), _shl(bits, -rs))
-        c = jnp.where(blen > 0, c, jnp.uint32(0))
-        out.append(w | c)
-    return end, out[0], out[1], out[2]
-
-
 def _gather_row(row, idx):
     """Per-element lookup of a <=128-entry table held in one lane vreg.
 
@@ -194,9 +179,14 @@ def _merge_ncT(lens, words, cap_out):
 
 def block_caps(budget_words: int):
     """Chunk word capacities for the six in-block merge levels plus the
-    EOB-append level (same schedule as device_pack.block_cap_schedule)."""
+    EOB-append level.
+
+    Items are single-word (<= 32 bits each — ZRL codes live in their own
+    slots, see the kernel), so level k's content is bounded by
+    ``2^k`` words exactly; the ``min(2c, ...)`` doubling therefore starts
+    from c=1 and the early caps are overflow-free by construction."""
     caps = []
-    c = 3
+    c = 1
     for k in range(1, 7):
         n_slots = 1 << k
         limit = max(5, (budget_words * n_slots + 63) // 64 + 2)
@@ -258,11 +248,16 @@ def _pack_tile_kernel(
 
     q = q_ref[:]  # (64, T) int32, slot-major
 
-    # Per-slot item registers, (64 slots, T blocks).
+    # Per-slot item registers, (64 slots, T blocks).  Every item is a
+    # SINGLE word: DC <= 16+11 bits, AC symbol+magnitude <= 16+10 bits,
+    # and ZRL codes (<= 16 bits) are emitted in their own slots — the
+    # k-th ZRL of a zero run occupies the (otherwise empty) zero slot at
+    # ``prevnz + 16k``, which precedes the run-ending symbol in slot
+    # order, so the slot-order merge tree reproduces the exact reference
+    # bitstream (writer.rs:356-388) while the register file and the
+    # early merge levels stay one word wide.
     lens = jnp.zeros((64, T), jnp.int32)
     w0 = jnp.zeros((64, T), U32)
-    w1 = jnp.zeros((64, T), U32)
-    w2 = jnp.zeros((64, T), U32)
 
     slot = jax.lax.broadcasted_iota(jnp.int32, (64, T), 0)
 
@@ -311,7 +306,6 @@ def _pack_tile_kernel(
         size = _bit_length(jnp.abs(band))
         extra = (band - (band < 0).astype(jnp.int32)).astype(U32) & _mask(size)
         sym = ((run & 15) << 4) | size
-        zrl_count = jnp.where(nz, run >> 4, 0)
 
         # Huffman lookup: two lane gathers per distinct table over the
         # 256-entry packed row (two 128-lane halves selected by sym>>7,
@@ -350,46 +344,40 @@ def _pack_tile_kernel(
         zrl_hc = (zrl_lut & 0xFFFF)
 
         item_active = nz & jnp.broadcast_to(valid, (64, T))
-        # Specialized ZRL appends: the k-th ZRL code lands at the known
-        # offset k*L (L = ZRL code length <= 16), so append 1 is a pure
-        # MSB placement, append 2 touches word 0 only (2L <= 32) and
-        # append 3 at most words 0-1 (3L <= 48).
-        act1 = (zrl_count > 0) & item_active
-        act2 = (zrl_count > 1) & item_active
-        act3 = (zrl_count > 2) & item_active
-        a0 = jnp.where(act1, _shl(zrl_hc, 32 - zrl_hs), jnp.uint32(0))
-        a0 = a0 | jnp.where(act2, _shl(zrl_hc, 32 - 2 * zrl_hs),
-                            jnp.uint32(0))
-        end3 = 3 * zrl_hs
-        a0 = a0 | jnp.where(act3 & (end3 <= 32), _shl(zrl_hc, 32 - end3),
-                            jnp.uint32(0))
-        a0 = a0 | jnp.where(act3 & (end3 > 32), _shr(zrl_hc, end3 - 32),
-                            jnp.uint32(0))
-        a1 = jnp.where(act3 & (end3 > 32), _shl(zrl_hc, 64 - end3),
-                       jnp.uint32(0))
-        al = zrl_hs * (act1.astype(jnp.int32) + act2.astype(jnp.int32)
-                       + act3.astype(jnp.int32))
-        a2 = jnp.zeros((64, T), U32)
+        # ZRL items in their own slots: a zero slot z with
+        # run(z) % 16 == 15 (i.e. z is the 16th/32nd/48th zero after the
+        # previous nonzero) carries one ZRL code — provided some nonzero
+        # follows in the band (otherwise z is in the EOB tail).  The
+        # run-ending symbol then needs no ZRL prefix at all.
+        last_in_band = jnp.broadcast_to(lastnz[63:64, :], (64, T))
+        zrl_here = (
+            (band == 0)
+            & in_band
+            & ((run & 15) == 15)
+            & (slot < last_in_band)
+            & jnp.broadcast_to(valid, (64, T))
+        )
 
         sym_bits = _shl(sym_hc, size) | extra
-        sym_blen = jnp.where(item_active, sym_hs + size, 0)
-        al, a0, a1, a2 = _append_bits(al, a0, a1, a2, sym_bits, sym_blen)
+        sym_blen = sym_hs + size
 
         ac_slots = in_band & (slot > 0) if spec.emit_dc else in_band
-        lens = jnp.where(ac_slots, al, lens)
-        w0 = jnp.where(ac_slots, a0, w0)
-        w1 = jnp.where(ac_slots, a1, w1)
-        w2 = jnp.where(ac_slots, a2, w2)
+        ac_len = jnp.where(
+            item_active, sym_blen, jnp.where(zrl_here, zrl_hs, 0)
+        )
+        ac_w0 = jnp.where(
+            item_active,
+            _shl(sym_bits, 32 - sym_blen),
+            jnp.where(zrl_here, _shl(zrl_hc, 32 - zrl_hs), jnp.uint32(0)),
+        )
+        lens = jnp.where(ac_slots, ac_len, lens)
+        w0 = jnp.where(ac_slots, ac_w0, w0)
 
         eob_flag = (lastnz[63:64, :] < (se - 1)) & valid
 
     # ----- Already in the (N, C, T) layout the in-block tree wants. --------
     lens_t = lens.reshape(64, 1, T)
-    words_nct = jnp.concatenate(
-        [w0.reshape(64, 1, T), w1.reshape(64, 1, T),
-         w2.reshape(64, 1, T)],
-        axis=1,
-    )
+    words_nct = w0.reshape(64, 1, T)
 
     caps = block_caps(budget)
     cur_len, cur_w = lens_t, words_nct
