@@ -157,9 +157,16 @@ def bench_stages(setup, img, w, h):
 
     coeff_fn, layout = coefficients_fn(w, h, ColorType.RGB, config)
     version = de.pack_version()
+    plan = de.build_scan_plan(layout, layout["components"], config)
     # Measure the layout the fused path actually runs: coefficient-major
-    # on the Pallas+v2 path, block-major otherwise.
-    cm = version == "v2" and coeff_fn.raw_fn_cm is not None
+    # on the Pallas+v2 path, block-major otherwise.  The cm micro-bench
+    # below assumes a single-scan plan; multi-scan configs take the
+    # block-major branch.
+    cm = (
+        version == "v2"
+        and coeff_fn.raw_fn_cm is not None
+        and len(plan) == 1
+    )
     inner = coeff_fn.raw_fn_cm if cm else coeff_fn.raw_fn
     dimg = jax.device_put(img)
     # Reduce to a scalar inside jit so timing excludes the result transfer.
@@ -182,7 +189,6 @@ def bench_stages(setup, img, w, h):
 
         huffman = [list(p) for p in default_tables()]
         dc_p, ac_p = pack_tables(de.tables_to_arrays(huffman))
-        plan = de.build_scan_plan(layout, layout["components"], config)
         ((_, spec, _),) = plan
         pk = jax.jit(
             lambda s: device_scan_pack(s, spec, dc_p, ac_p, 16, cm=True)[:2]

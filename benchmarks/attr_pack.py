@@ -21,6 +21,10 @@ img = make_rgb(W, H)
 config = EncoderConfig(quality=90, sampling_factor=SamplingFactor.F_1_1)
 
 coeff_fn, layout = coefficients_fn(W, H, ColorType.RGB, config)
+assert coeff_fn.raw_fn_cm is not None, (
+    "coefficient-major pipeline unavailable: run on TPU or set "
+    "TPUENC_PALLAS_FDCT=1"
+)
 dimg = jax.device_put(img)
 stream_cm = jax.jit(coeff_fn.raw_fn_cm)(dimg)[0]
 stream_cm = jax.block_until_ready(stream_cm)

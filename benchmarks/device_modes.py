@@ -1,0 +1,152 @@
+"""Measure device-resident throughput for every canonical workload
+(reference criterion modes, /root/reference/criterion/benches/encode.rs:57-153,
+plus BASELINE.json configs 2-5).  Prints a per-mode MP/s table."""
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+from bench import make_rgb, _amortized_ms  # noqa: E402
+
+
+def bench_mode(name, config, w, h, color_type=None, reps=3):
+    import jax
+
+    from tpuenc.core.tables import default_tables
+    from tpuenc.core.types import ColorType
+    from tpuenc.entropy import device_encode as de
+
+    if color_type is None:
+        color_type = ColorType.RGB
+    img = make_rgb(w, h)
+    huffman = [list(p) for p in default_tables()]
+    tabs = de.tables_to_device(huffman)
+    version = de.pack_version()
+    t0 = time.perf_counter()
+    fn, plan, segst = de._build_fused_fn(w, h, color_type, config, 16, version)
+    dimg = jax.device_put(img)
+    buf, meta = fn(dimg, *tabs)
+    compile_s = time.perf_counter() - t0
+    ovf = int(np.asarray(meta)[0])
+    if ovf:
+        fn, plan, segst = de._build_fused_fn(w, h, color_type, config, 48, version)
+        buf, meta = fn(dimg, *tabs)
+        ovf = int(np.asarray(meta)[0])
+    ms = _amortized_ms(lambda: fn(dimg, *tabs))
+    mps = w * h / 1e6 / (ms / 1e3)
+    print(
+        f"{name:38s} {mps:9.1f} MP/s  {ms:8.2f} ms  "
+        f"({len(plan)} scans, ovf={ovf}, compile {compile_s:.0f}s)",
+        flush=True,
+    )
+    return mps
+
+
+def bench_optimized(name, config, w, h, reps=3):
+    """Two-pass optimized-table flow: coeff+hist, host K.2, pack."""
+    import jax
+
+    from tpuenc.core.tables import HuffmanTable
+    from tpuenc.core.types import ColorType
+    from tpuenc.entropy import device_encode as de
+    from tpuenc.entropy.huffopt import tables_from_histograms
+
+    img = make_rgb(w, h)
+    t0 = time.perf_counter()
+    cfn, components = de._build_coeff_hist_fn(w, h, ColorType.RGB, config)
+    dimg = jax.device_put(img)
+    streams, hists = cfn(dimg)
+    hists_np = [(np.asarray(d), np.asarray(a)) for d, a in hists]
+    opt = [list(p) for p in tables_from_histograms(hists_np)]
+    tabs = de.tables_to_device(opt)
+    pfn, plan, segst = de._build_pack_only_fn(
+        w, h, ColorType.RGB, config, 16, de.pack_version()
+    )
+    buf, meta = pfn(tuple(streams), *tabs)
+    compile_s = time.perf_counter() - t0
+    ovf = int(np.asarray(meta)[0])
+
+    def run():
+        streams, hists = cfn(dimg)
+        # NOTE: host table build not re-run in the amortized loop; measured
+        # separately below.
+        buf, meta = pfn(tuple(streams), *tabs)
+        return buf, meta
+
+    ms = _amortized_ms(run)
+    # host K.2 build cost
+    t0 = time.perf_counter()
+    for _ in range(5):
+        tables_from_histograms(hists_np)
+    host_ms = (time.perf_counter() - t0) / 5 * 1e3
+    mps = w * h / 1e6 / (ms / 1e3)
+    print(
+        f"{name:38s} {mps:9.1f} MP/s  {ms:8.2f} ms  "
+        f"(+{host_ms:.2f} ms host K.2; {len(plan)} scans, ovf={ovf}, "
+        f"compile {compile_s:.0f}s)",
+        flush=True,
+    )
+    return mps
+
+
+def main():
+    from tpuenc.core.types import ColorType, EncoderConfig, SamplingFactor
+
+    w, h = 2000, 1800
+    print(f"device-resident per-mode bench, {w}x{h} RGB", flush=True)
+
+    bench_mode(
+        "interleaved q90 4:4:4 (flagship)",
+        EncoderConfig(quality=90, sampling_factor=SamplingFactor.F_1_1),
+        w, h,
+    )
+    bench_mode(
+        "encode rgb 100 (q100 4:4:4)",
+        EncoderConfig(quality=100, sampling_factor=SamplingFactor.F_1_1),
+        w, h,
+    )
+    bench_mode(
+        "encode rgb 4x1 (q80 seq)",
+        EncoderConfig(quality=80, sampling_factor=SamplingFactor.F_4_1),
+        w, h,
+    )
+    bench_mode(
+        "encode rgb progressive (q80, 4 scans)",
+        EncoderConfig(
+            quality=80, sampling_factor=SamplingFactor.F_2_2,
+            progressive_scans=4,
+        ),
+        w, h,
+    )
+    bench_optimized(
+        "encode rgb optimized (q100)",
+        EncoderConfig(
+            quality=100, sampling_factor=SamplingFactor.F_1_1,
+            optimize_huffman_table=True,
+        ),
+        w, h,
+    )
+    bench_optimized(
+        "encode rgb opt progressive (q100)",
+        EncoderConfig(
+            quality=100, sampling_factor=SamplingFactor.F_2_2,
+            optimize_huffman_table=True, progressive_scans=4,
+        ),
+        w, h,
+    )
+    # BASELINE config 2: 4:2:0 + restart 64 on 4K
+    bench_mode(
+        "q90 4:2:0 restart64 4K (3840x2160)",
+        EncoderConfig(
+            quality=90, sampling_factor=SamplingFactor.F_2_2,
+            restart_interval=64,
+        ),
+        3840, 2160,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -266,10 +266,23 @@ def _pack_tile_kernel(
         diff = dcdiff_ref[:]  # (1, T) int32
         size = _bit_length(jnp.abs(diff))
         extra = (diff - (diff < 0).astype(jnp.int32)).astype(U32) & _mask(size)
-        # Lookup idx = tab*16 + size over the (n_tabs*16 <= 64)-entry
-        # packed table row (padded to 128 lanes); lane dynamic gathers.
-        idx = dctab * 16 + size  # (1, T)
-        lut = _gather_row(dctabs_ref[0:1, 0:128], idx).astype(U32)
+        # DC table lookup as a scalar-load select chain: only 16 entries
+        # per table (size <= 11 for 8-bit data), so 16 selects per
+        # distinct table beat a lane gather — and a gather here needs a
+        # (1, T) replicated-sublane index, a layout Mosaic's
+        # dynamic_gather lowering rejects (single-table specs fail to
+        # compile; the AC gathers below use genuinely sublane-varying
+        # (64, T) indices and are fine).
+        lut = jnp.zeros((1, T), jnp.int32)
+        for t in distinct_dc:
+            for s in range(16):
+                v = dctabs_ref[0, t * 16 + s]
+                hit = (
+                    (size == s) if len(distinct_dc) == 1
+                    else ((size == s) & (dctab == t))
+                )
+                lut = jnp.where(hit, v, lut)
+        lut = lut.astype(U32)
         hs = (lut >> 16).astype(jnp.int32)
         hc = lut & 0xFFFF
         dc_bits = _shl(hc, size) | extra
