@@ -161,6 +161,28 @@ def test_new_file(tmp_path):
     assert path.read_bytes() == data
 
 
+def test_encode_batch_honors_writer_sink():
+    """encode_batch must feed a configured sink per image, exactly like
+    encode() does (device and host paths agree)."""
+    rng = np.random.default_rng(7)
+    imgs = [
+        rng.integers(0, 256, size=(24, 16, 3), dtype=np.uint8)
+        for _ in range(3)
+    ]
+
+    class Sink:
+        def __init__(self):
+            self.chunks = []
+
+        def write(self, b):
+            self.chunks.append(bytes(b))
+
+    sink = Sink()
+    enc = Encoder.new_writer(sink, 90)
+    outs = enc.encode_batch([i.tobytes() for i in imgs], 16, 24, ColorType.RGB)
+    assert sink.chunks == outs
+
+
 def test_encode_image_custom_buffer():
     from PIL import Image
     import io

@@ -434,8 +434,13 @@ class Encoder:
                     scans, width, height, color_type, config, components,
                     q_tables, huffman,
                 )
+                # _finish per image: a configured sink (new_file/new_writer)
+                # sees every result, matching encode()'s semantics (and the
+                # host fallback below, which goes through encode()).
                 results.append(
-                    bytes(prefix) + body + segments.marker(markers.EOI)
+                    self._finish(
+                        bytes(prefix) + body + segments.marker(markers.EOI)
+                    )
                 )
             return results
 

