@@ -174,3 +174,74 @@ def test_encode_stream_multiscan_fallback(monkeypatch):
     enc2.set_progressive(True)
     got = b"".join(enc2.encode_stream(img.tobytes(), w, h, ColorType.RGB))
     assert got == want
+
+
+def test_encode_stream_row_source(monkeypatch):
+    """Pull-model input: rows are generated on demand per MCU-row band,
+    never holding more than one band — byte-identical to encode() of the
+    same image (VERDICT #3 / reference image_buffer.rs:86-98)."""
+    w, h = 70, 150
+    requests = []
+
+    def row(y):
+        # Deterministic synthetic scanline generator: no full image exists.
+        x = np.arange(w, dtype=np.uint32)
+        r = (3 * y + x) % 256
+        g = (7 * y ^ x) % 256
+        b = (y * y + 5 * x) % 256
+        return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+    def get_rows(y0, n):
+        requests.append((y0, n))
+        return np.stack([row(y) for y in range(y0, y0 + n)])
+
+    monkeypatch.setenv("TPUENC_DEVICE_ENTROPY", "0")
+    full = np.stack([row(y) for y in range(h)])
+    enc = Encoder(85)
+    enc.set_restart_interval(4)
+    want = enc.encode(full.tobytes(), w, h, ColorType.RGB)
+
+    monkeypatch.setenv("TPUENC_DEVICE_ENTROPY", "strict")
+    enc2 = Encoder(85)
+    enc2.set_restart_interval(4)
+    got = b"".join(
+        enc2.encode_stream(get_rows, w, h, ColorType.RGB, chunk_mcu_rows=2)
+    )
+    assert got == want
+    # O(band) pulls: 2 MCU rows * 16 px (4:2:0), never the whole image.
+    assert len(requests) >= 4
+    assert max(n for _, n in requests) <= 32
+    assert sum(n for _, n in requests) == h
+    assert enc2.last_encode_path == "device-chunked-stream"
+
+
+def test_encode_stream_row_source_object_and_multiscan(monkeypatch):
+    """An object with get_rows works too; multi-pass modes drain the
+    source once and still match encode()."""
+    rng = np.random.default_rng(11)
+    w, h = 40, 40
+    img = rng.integers(0, 256, (h, w, 3), np.uint8)
+
+    class Source:
+        def get_rows(self, y0, n):
+            return img[y0:y0 + n]
+
+    enc = Encoder(80)
+    enc.set_progressive(True)
+    want = enc.encode(img.tobytes(), w, h, ColorType.RGB)
+    enc2 = Encoder(80)
+    enc2.set_progressive(True)
+    got = b"".join(enc2.encode_stream(Source(), w, h, ColorType.RGB))
+    assert got == want
+
+    # Interleaved path with the object form, bytes return type.
+    enc3 = Encoder(80)
+    want3 = enc3.encode(img.tobytes(), w, h, ColorType.RGB)
+
+    class ByteSource:
+        def get_rows(self, y0, n):
+            return img[y0:y0 + n].tobytes()
+
+    enc4 = Encoder(80)
+    got3 = b"".join(enc4.encode_stream(ByteSource(), w, h, ColorType.RGB))
+    assert got3 == want3

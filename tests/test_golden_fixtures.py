@@ -15,7 +15,7 @@ import os
 
 import pytest
 
-from tests.fixtures.generate import W, H, _img, build_cases
+from tests.fixtures.generate import _img, build_cases
 
 HERE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
 
@@ -25,22 +25,23 @@ CASES = build_cases()
 @pytest.mark.parametrize("name", sorted(CASES))
 def test_golden_bytes(name, monkeypatch):
     monkeypatch.setenv("TPUENC_DEVICE_ENTROPY", "0")
-    build, ct, ch, seed = CASES[name]
+    build, ct, ch, seed, w, h = CASES[name]
     want = open(os.path.join(HERE, f"{name}.jpg"), "rb").read()
-    got = build().encode(_img(ch, seed).tobytes(), W, H, ct)
+    got = build().encode(_img(ch, seed, w, h).tobytes(), w, h, ct)
     assert got == want, f"bitstream drift in fixture {name}"
 
 
 @pytest.mark.parametrize("name", ["baseline_q90_444", "restart2_q80_420",
-                                  "progressive4_q90"])
+                                  "progressive4_q90", "ycck_prog4_rst2_q90",
+                                  "geom258x172_rst4_q80_420"])
 def test_golden_bytes_device_paths(name, monkeypatch):
     """Both device packers must reproduce the frozen bytes too."""
     monkeypatch.setenv("TPUENC_DEVICE_ENTROPY", "strict")
-    build, ct, ch, seed = CASES[name]
+    build, ct, ch, seed, w, h = CASES[name]
     want = open(os.path.join(HERE, f"{name}.jpg"), "rb").read()
     for version in ("v1", "v2"):
         monkeypatch.setenv("TPUENC_PACK", version)
-        got = build().encode(_img(ch, seed).tobytes(), W, H, ct)
+        got = build().encode(_img(ch, seed, w, h).tobytes(), w, h, ct)
         assert got == want, f"{name} drift on device pack {version}"
 
 

@@ -280,11 +280,30 @@ class Encoder:
             with open(path, "wb") as f:
                 for piece in enc.encode_stream(px, w, h, ColorType.RGB):
                     f.write(piece)
+
+        Streaming INPUT: ``data`` may instead be a pull source — a callable
+        ``(y0, n) -> rows`` or an object with a ``get_rows(y0, n)`` method —
+        returning ``n`` interleaved pixel rows starting at row ``y0``
+        (bytes or array).  This is the TPU-shaped analog of the reference's
+        per-scanline ``ImageBuffer::fill_buffers`` pull model
+        (image_buffer.rs:86-98): rows are requested one MCU-row band at a
+        time and host input memory stays O(band), so a 16K x 16K CMYK
+        encode never materializes the ~1 GB input.  Multi-pass modes
+        (progressive / sequential / optimized) materialize the image by
+        design; the source is then drained once into a full buffer.
         """
         import os
 
         color_type = ColorType(color_type)
-        pixels = _validate_pixels(data, width, height, color_type)
+        source = None
+        if callable(data) or hasattr(data, "get_rows"):
+            _check_dims(width, height)
+            if width > 65535 or height > 65535:
+                raise errors.DimensionsTooLarge(width, height)
+            source = data.get_rows if hasattr(data, "get_rows") else data
+            pixels = None
+        else:
+            pixels = _validate_pixels(data, width, height, color_type)
         config = self._config()
         device_on = os.environ.get("TPUENC_DEVICE_ENTROPY", "1") != "0"
         if (
@@ -292,6 +311,11 @@ class Encoder:
             or config.optimize_huffman_table
             or not device_on
         ):
+            if pixels is None:  # drain the source; multi-pass needs it all
+                pixels = _validate_pixels(
+                    self._drain_source(source, width, height, color_type),
+                    width, height, color_type,
+                )
             yield self._encode_pixels(pixels, width, height, color_type)
             return
 
@@ -319,10 +343,18 @@ class Encoder:
 
         self.last_encode_path = "device-chunked-stream"
         yield from iter_encode_interleaved_chunked(
-            pixels, width, height, color_type, config, huffman,
+            source if source is not None else pixels,
+            width, height, color_type, config, huffman,
             chunk_mcu_rows,
         )
         yield segments.marker(markers.EOI)
+
+    @staticmethod
+    def _drain_source(source, width, height, color_type) -> np.ndarray:
+        r = source(0, height)
+        if isinstance(r, (bytes, bytearray, memoryview)):
+            return np.frombuffer(r, np.uint8)
+        return np.asarray(r, dtype=np.uint8)
 
     def encode_image(self, image: ImageBuffer) -> bytes:
         """Encode a user-supplied :class:`ImageBuffer`

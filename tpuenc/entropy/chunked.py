@@ -329,11 +329,31 @@ def iter_encode_interleaved_chunked(
     pad_w = num_cols * 8 * max_h
 
     # Edge-replicate to the padded canvas lazily per chunk (O(chunk) host
-    # memory for the padded slab).
+    # memory for the padded slab).  ``pixels`` is either the full (H, W[, C])
+    # array or a pull-model row source — a callable ``(y0, n) -> rows`` —
+    # the TPU-shaped analog of the reference's per-scanline
+    # ``ImageBuffer::fill_buffers`` (image_buffer.rs:86-98): input host
+    # memory then stays O(chunk) even for 16K-class images.
+    bpp = color_type.bytes_per_pixel
+
+    def fetch_rows(y0: int, n: int) -> np.ndarray:
+        if callable(pixels):
+            slab = pixels(y0, n)
+            flat = np.frombuffer(slab, np.uint8) if isinstance(
+                slab, (bytes, bytearray, memoryview)
+            ) else np.asarray(slab, np.uint8).reshape(-1)
+            if flat.size < n * width * bpp:
+                from ..core import errors
+
+                raise errors.BadImageData(flat.size, n * width * bpp)
+            slab = flat[: n * width * bpp].reshape(n, width, bpp)
+            return slab[..., 0] if bpp == 1 else slab
+        return pixels[y0 : y0 + n]
+
     def chunk_pixels(row0: int, nrows: int) -> np.ndarray:
         y0 = row0 * mcu_h
         y1 = min((row0 + nrows) * mcu_h, height)
-        slab = pixels[y0:y1]
+        slab = fetch_rows(y0, y1 - y0)
         pad_y = (row0 + nrows) * mcu_h - y0 - slab.shape[0]
         pad = [(0, pad_y), (0, pad_w - width)] + [(0, 0)] * (slab.ndim - 2)
         return np.pad(slab, pad, mode="edge")

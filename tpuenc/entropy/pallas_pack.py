@@ -1024,6 +1024,12 @@ def device_scan_pack(
         words = jnp.where(valid[:, None], words, jnp.uint32(0))
 
     n1 = -(-Bp // n_sub)
+    # Small scans: shrink the chunk so the stream isn't padded to
+    # n_sub*chunk (= 32768) block slots — pure overhead for images with
+    # few blocks (and catastrophic under interpret mode, where every
+    # padded slot is emulated).  chunk stays a power of two >= 2 so the
+    # halving cap schedules hold.
+    chunk = max(2, min(chunk, 1 << max(1, (n1 - 1).bit_length())))
     n1p = -(-n1 // chunk) * chunk
     total = n_sub * n1p
     if total != Bp:

@@ -80,14 +80,24 @@ def _blockify_cm(plane, v_scale: int, h_scale: int):
     ``reshape/swapaxes/reshape/T`` chain (0.13 ms vs 5.6 ms per 3.6 MP
     plane, measured), which round 1 used and which dominated the whole
     coefficient stage.
+
+    Point subsampling is folded INTO the gather rather than materialized
+    first: a ``plane[::2, ::2]`` strided slice lowers pathologically on
+    TPU (~23 ms per 4K chroma plane — it made the whole 4:2:0
+    coefficient stage 34x slower than 4:4:4, measured).  Selecting rows
+    by a sublane-axis reshape-index and columns by stride ``8*h_scale``
+    lane slices keeps the same ~0.1 ms/plane cost as the unsampled path.
     """
-    sub = plane[..., ::v_scale, ::h_scale] - 128
-    h, w = sub.shape[-2:]
-    if sub.ndim == 3:  # batch: stack images vertically (lane order n,r,c)
-        sub = sub.reshape(-1, w)
-        h = sub.shape[0]
-    x = sub.reshape(h // 8, 8, w)
-    cols = [x[:, :, i::8] for i in range(8)]  # each (R, 8, C)
+    h, w = plane.shape[-2:]
+    if plane.ndim == 3:  # batch: stack images vertically (lane order n,r,c)
+        plane = plane.reshape(-1, w)
+        h = plane.shape[0]
+    # Rows of block-row r: plane rows r*8v + j*v (j = 0..7).
+    x = plane.reshape(h // (8 * v_scale), 8, v_scale, w)[:, :, 0, :] - 128
+    # Cols of block-col c, offset i: plane col (8c + i) * h_scale.
+    cols = [
+        x[:, :, i * h_scale :: 8 * h_scale] for i in range(8)
+    ]  # each (R, 8, C)
     s = jnp.stack(cols, axis=2)  # (R, 8, 8, C) = (r, y, x, c)
     return s.transpose(1, 2, 0, 3).reshape(64, -1)
 
