@@ -28,22 +28,35 @@ def cm_env(monkeypatch):
 
 
 CASES = [
-    ("f11", EncoderConfig(quality=90, sampling_factor=SamplingFactor.F_1_1),
-     37, 22),
+    pytest.param(
+        "f11",
+        EncoderConfig(quality=90, sampling_factor=SamplingFactor.F_1_1),
+        37, 22, marks=pytest.mark.slow),
     ("f22", EncoderConfig(quality=80, sampling_factor=SamplingFactor.F_2_2),
      70, 46),
-    ("f21_restart", EncoderConfig(
-        quality=80, sampling_factor=SamplingFactor.F_2_1, restart_interval=2),
-     50, 18),
+    pytest.param(
+        "f21_restart",
+        EncoderConfig(quality=80, sampling_factor=SamplingFactor.F_2_1,
+                      restart_interval=2),
+        50, 18, marks=pytest.mark.slow),
     ("f14", EncoderConfig(quality=75, sampling_factor=SamplingFactor.F_1_4),
      24, 70),
-    ("progressive", EncoderConfig(quality=85, progressive_scans=3), 40, 25),
-    ("sequential_f41", EncoderConfig(
-        quality=85, sampling_factor=SamplingFactor.F_4_1), 66, 10),
+    pytest.param(
+        "progressive", EncoderConfig(quality=85, progressive_scans=3),
+        40, 25, marks=pytest.mark.slow),
+    pytest.param(
+        "sequential_f41",
+        EncoderConfig(quality=85, sampling_factor=SamplingFactor.F_4_1),
+        66, 10, marks=pytest.mark.slow),
 ]
 
 
-@pytest.mark.parametrize("name,config,w,h", CASES, ids=[c[0] for c in CASES])
+def _case_id(c):
+    return c.values[0] if hasattr(c, "values") else c[0]
+
+
+@pytest.mark.parametrize("name,config,w,h", CASES,
+                         ids=[_case_id(c) for c in CASES])
 def test_cm_streams_match_block_major(name, config, w, h, cm_env):
     from tpuenc.kernels.pipeline import coefficients_fn
 
@@ -61,6 +74,7 @@ def test_cm_streams_match_block_major(name, config, w, h, cm_env):
         np.testing.assert_array_equal(np.asarray(c).T, np.asarray(b))
 
 
+@pytest.mark.slow
 def test_cm_streams_batched(cm_env):
     from tpuenc.kernels.pipeline import coefficients_fn
 
@@ -80,8 +94,12 @@ def test_cm_streams_batched(cm_env):
         np.testing.assert_array_equal(np.asarray(c).T, flat)
 
 
-@pytest.mark.parametrize("mode", ["baseline", "f22_restart", "progressive",
-                                  "sequential"])
+@pytest.mark.parametrize("mode", [
+    "baseline",
+    pytest.param("f22_restart", marks=pytest.mark.slow),
+    "progressive",
+    pytest.param("sequential", marks=pytest.mark.slow),
+])
 def test_cm_fused_byte_parity(mode, cm_env, monkeypatch):
     rng = np.random.default_rng(23)
     w, h = 70, 46
@@ -105,6 +123,7 @@ def test_cm_fused_byte_parity(mode, cm_env, monkeypatch):
     assert got == want
 
 
+@pytest.mark.slow
 def test_cm_batch_fused_parity(cm_env, monkeypatch):
     from tpuenc.core.tables import default_tables
     from tpuenc.core.types import ColorType as CT

@@ -144,13 +144,14 @@ def test_budget_overflow_flag():
         ("seq_4x1", 80, lambda e: e.set_sampling_factor(SamplingFactor.F_4_1)),
         ("progressive", 80, lambda e: e.set_progressive(True)),
         ("optimized", 95, lambda e: e.set_optimized_huffman_tables(True)),
-        (
+        pytest.param(
             "opt_prog",
             95,
             lambda e: (
                 e.set_optimized_huffman_tables(True),
                 e.set_progressive(True),
             ),
+            marks=pytest.mark.slow,
         ),
         ("restart", 80, lambda e: e.set_restart_interval(4)),
     ],

@@ -107,6 +107,7 @@ if HAVE_HYPOTHESIS:
         restart=st.sampled_from([0, 3]),
         seed=st.integers(0, 2**31),
     )
+    @pytest.mark.slow
     def test_fuzz_device_entropy_parity(
         w, h, quality, ct, factor, progressive, optimized, restart, seed
     ):
@@ -194,6 +195,7 @@ if HAVE_HYPOTHESIS:
         restart=st.sampled_from([0, 7]),
         seed=st.integers(0, 2**31),
     )
+    @pytest.mark.slow
     def test_fuzz_sharded_encoder(
         cols, rows, quality, optimized, progressive, restart, seed
     ):

@@ -31,9 +31,13 @@ def test_golden_bytes(name, monkeypatch):
     assert got == want, f"bitstream drift in fixture {name}"
 
 
-@pytest.mark.parametrize("name", ["baseline_q90_444", "restart2_q80_420",
-                                  "progressive4_q90", "ycck_prog4_rst2_q90",
-                                  "geom258x172_rst4_q80_420"])
+@pytest.mark.parametrize("name", [
+    "baseline_q90_444",
+    "restart2_q80_420",
+    "progressive4_q90",
+    pytest.param("ycck_prog4_rst2_q90", marks=pytest.mark.slow),
+    "geom258x172_rst4_q80_420",
+])
 def test_golden_bytes_device_paths(name, monkeypatch):
     """Both device packers must reproduce the frozen bytes too."""
     monkeypatch.setenv("TPUENC_DEVICE_ENTROPY", "strict")

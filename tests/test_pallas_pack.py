@@ -165,6 +165,7 @@ def test_kernel_matches_serial(name):
     assert _stream_to_int(stream, total_bits) == exp_acc
 
 
+@pytest.mark.slow
 def test_kernel_sparse_and_dense_extremes():
     spec = SPECS["interleaved_444"]
     huffman = _default_tables()
@@ -181,6 +182,7 @@ def test_kernel_sparse_and_dense_extremes():
         assert _stream_to_int(stream, total_bits) == exp_acc, density
 
 
+@pytest.mark.slow
 def test_kernel_long_zero_runs():
     """Runs of 16..62 zeros exercise 1..3 ZRL codes per item."""
     spec = SPECS["luma_seq"]

@@ -131,3 +131,33 @@ def test_sharded_rejects_unaligned():
     img = _img(30, 130)
     with pytest.raises(ValueError):
         sharded_encode(img, 30, 130, ColorType.RGB, mesh)
+
+
+@needs_devices
+def test_multihost_gather_path(monkeypatch):
+    """The multihost_utils byte-gather path (fetch_global) produces the
+    same bytes as the direct single-process fetch.  Real multi-host runs
+    are out of scope here; this forces the gather code path under a
+    single process (VERDICT #8 / SURVEY §5 distributed-comm row)."""
+    mesh = make_mesh(8, batch=1)
+    w, h = 48, 16 * 8 * 2
+    img = _img(w, h)
+
+    enc = ShardedEncoder(80, mesh)
+    enc.set_restart_interval(4)
+    want = enc.encode(img, w, h, ColorType.RGB)
+
+    monkeypatch.setenv("TPUENC_FORCE_MULTIHOST_GATHER", "1")
+    enc2 = ShardedEncoder(80, mesh)
+    enc2.set_restart_interval(4)
+    got = enc2.encode(img, w, h, ColorType.RGB)
+    assert got == want
+
+    # Optimized tables: histogram fetches ride the gather too.
+    enc3 = ShardedEncoder(80, mesh)
+    enc3.set_optimized_huffman_tables(True)
+    got_opt = enc3.encode(img, w, h, ColorType.RGB)
+    monkeypatch.delenv("TPUENC_FORCE_MULTIHOST_GATHER")
+    enc4 = ShardedEncoder(80, mesh)
+    enc4.set_optimized_huffman_tables(True)
+    assert got_opt == enc4.encode(img, w, h, ColorType.RGB)

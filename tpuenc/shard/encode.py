@@ -29,6 +29,41 @@ from ..core.types import ColorType
 from .stripes import pad_for_stripes, stripe_encode_step, stripe_geometry
 
 
+def fetch_global(arr) -> np.ndarray:
+    """Host fetch of a (possibly multi-host-sharded) mesh output.
+
+    Single-process (every shard addressable): a plain ``np.asarray``.
+    Multi-process (a real pod slice, ``jax.process_count() > 1``): the
+    array's shards span hosts and are not locally addressable, so the
+    bytes ride ``multihost_utils.process_allgather``, which fully
+    replicates a non-fully-addressable ``jax.Array`` to every process
+    (the SURVEY §5 distributed-comm prescription: collectives on device,
+    ``multihost_utils`` for the final host byte gather).  Set
+    ``TPUENC_FORCE_MULTIHOST_GATHER=1`` to exercise this path under a
+    single process (used by tests; real multi-host runs need no flag).
+    """
+    import os
+
+    import jax
+
+    if (
+        jax.process_count() > 1
+        or os.environ.get("TPUENC_FORCE_MULTIHOST_GATHER") == "1"
+    ):
+        from jax.experimental import multihost_utils
+
+        out = np.asarray(multihost_utils.process_allgather(arr))
+        # Non-fully-addressable inputs (mesh outputs on a real pod) come
+        # back fully replicated at the original shape; fully-addressable
+        # ones (forced single-process mode, or replicated arrays) come
+        # back stacked with a per-process leading axis — every copy is
+        # the same array, take one.
+        if out.shape == (jax.process_count(),) + tuple(np.shape(arr)):
+            out = out[0]
+        return out
+    return np.asarray(arr)
+
+
 class ShardedEncoder(Encoder):
     """Encoder whose pixels->coefficients stage runs striped over a mesh.
 
@@ -111,7 +146,7 @@ class ShardedEncoder(Encoder):
             _, hists = hfn(pad_for_stripes(
                 pixels, hgeo, channels=color_type is not ColorType.LUMA
             ))
-            hists_np = [(np.asarray(dc), np.asarray(ac)) for dc, ac in hists]
+            hists_np = [(fetch_global(dc), fetch_global(ac)) for dc, ac in hists]
             for b in range(n_b):
                 optimized = tables_from_histograms(
                     [(dc[b], ac[b]) for dc, ac in hists_np]
@@ -145,12 +180,12 @@ class ShardedEncoder(Encoder):
             per_scan = []
             overflow = False
             for (stream, meta, lens) in outs:
-                meta_np = np.asarray(meta)
+                meta_np = fetch_global(meta)
                 if meta_np[..., 0].any():
                     overflow = True
                     break
                 per_scan.append(
-                    (np.asarray(stream), meta_np, np.asarray(lens))
+                    (fetch_global(stream), meta_np, fetch_global(lens))
                 )
             if overflow:
                 continue
@@ -270,10 +305,10 @@ class ShardedEncoder(Encoder):
             pixels, geo, channels=color_type is not ColorType.LUMA
         )
         data, meta = fn(padded, *tabs)
-        meta_np = np.asarray(meta)
+        meta_np = fetch_global(meta)
         if meta_np[..., 0].any():
             return None  # budget overflow: fall back
-        data_np = np.asarray(data)
+        data_np = fetch_global(data)
 
         n_seg_local = mcus_local // config.restart_interval
         results = []
@@ -368,7 +403,7 @@ class ShardedEncoder(Encoder):
         if want_hists:
             streams, hists = fn(padded)
             hists_np = [
-                (np.asarray(dc), np.asarray(ac)) for dc, ac in hists
+                (fetch_global(dc), fetch_global(ac)) for dc, ac in hists
             ]
         else:
             streams = fn(padded)
@@ -403,7 +438,7 @@ class ShardedEncoder(Encoder):
             real_counts = list(layout["comp_block_counts"])
 
         results = []
-        np_streams = [np.asarray(s) for s in streams]
+        np_streams = [fetch_global(s) for s in streams]
         for i in range(pixels.shape[0]):
             comp_blocks = [
                 s[i][:n] for s, n in zip(np_streams, real_counts)
