@@ -56,14 +56,14 @@ def bench_optimized(name, config, w, h, reps=3):
 
     img = make_rgb(w, h)
     t0 = time.perf_counter()
-    cfn, components = de._build_coeff_hist_fn(w, h, ColorType.RGB, config)
+    cfn, components, cm = de._build_coeff_hist_fn(w, h, ColorType.RGB, config)
     dimg = jax.device_put(img)
     streams, hists = cfn(dimg)
     hists_np = [(np.asarray(d), np.asarray(a)) for d, a in hists]
     opt = [list(p) for p in tables_from_histograms(hists_np)]
     tabs = de.tables_to_device(opt)
     pfn, plan, segst = de._build_pack_only_fn(
-        w, h, ColorType.RGB, config, 16, de.pack_version()
+        w, h, ColorType.RGB, config, 16, de.pack_version(), cm=cm
     )
     buf, meta = pfn(tuple(streams), *tabs)
     compile_s = time.perf_counter() - t0

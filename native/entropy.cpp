@@ -230,6 +230,8 @@ extern "C" int64_t tpuenc_realign_segments(
     for (int64_t s = 0; s < n_segs; ++s)
         bit_off[s + 1] = bit_off[s] + seg_bits[s];
     const int64_t first = skip_first ? 1 : 0;
+    // Safe read bound for the 9-byte wide fast-path loads.
+    const int64_t in_len = (bit_off[n_segs] + 7) >> 3;
 
     std::vector<std::vector<uint8_t>> seg_out(n_segs);
     std::atomic<int64_t> next{first};
@@ -240,24 +242,66 @@ extern "C" int64_t tpuenc_realign_segments(
             const int64_t o = bit_off[s];
             const int64_t n = seg_bits[s];
             std::vector<uint8_t>& dst = seg_out[s];
-            dst.reserve((size_t)(n / 8 + 8));
-            // Stream bits [o, o+n) MSB-first into a byte-aligned,
-            // 1-padded, stuffed buffer.
+            const int64_t out_full = n >> 3;  // whole output bytes
+            dst.resize((size_t)(2 * (out_full + 2) + 16));
+            uint8_t* w = dst.data();
+            const int k = (int)(o & 7);
+            const uint8_t* src = in + (o >> 3);
+
+            // Fast path: 8 output bytes per iteration.  out[j] = bits
+            // [o+8j, o+8j+8), i.e. a k-bit left funnel shift across
+            // src[j..j+8]; a SWAR test (byte==0xFF iff high bit set and
+            // +1 clears it — carries only cause safe false positives,
+            // same trick as the reference writer.rs:171-184) picks
+            // between a single 8-byte store and the per-byte stuffing
+            // loop.
+            int64_t j = 0;
+            const int64_t src_avail = in_len - (o >> 3);
+            // Need src[j+8] readable: j + 9 <= src_avail.
+            int64_t fast_end = std::min(out_full, src_avail - 9) & ~7ll;
+            if (fast_end < 0) fast_end = 0;
+            for (; j < fast_end; j += 8) {
+                uint64_t hi;
+                std::memcpy(&hi, src + j, 8);
+#if defined(__BYTE_ORDER__) && __BYTE_ORDER__ == __ORDER_LITTLE_ENDIAN__
+                hi = __builtin_bswap64(hi);
+#endif
+                uint64_t v =
+                    k ? ((hi << k) | ((uint64_t)src[j + 8] >> (8 - k))) : hi;
+                if (!(v & ~(v + 0x0101010101010101ull) &
+                      0x8080808080808080ull)) {
+#if defined(__BYTE_ORDER__) && __BYTE_ORDER__ == __ORDER_LITTLE_ENDIAN__
+                    uint64_t st = __builtin_bswap64(v);
+#else
+                    uint64_t st = v;
+#endif
+                    std::memcpy(w, &st, 8);
+                    w += 8;
+                } else {
+                    for (int b = 56; b >= 0; b -= 8) {
+                        uint8_t byte = (uint8_t)(v >> b);
+                        *w++ = byte;
+                        if (byte == 0xFF) *w++ = 0x00;
+                    }
+                }
+            }
+
+            // Scalar tail: remaining bits [o + 8j, o + n) + 1-padding.
             uint64_t acc = 0;
             int nbits = 0;
-            int64_t ip = o >> 3;
-            int lead = (int)(o & 7);
-            int64_t remaining = n;
+            int64_t ip = (o + 8 * j) >> 3;
+            int lead = (int)((o + 8 * j) & 7);
+            int64_t remaining = n - 8 * j;
             auto flush = [&]() {
                 while (nbits >= 8) {
                     nbits -= 8;
                     uint8_t b = (uint8_t)((acc >> nbits) & 0xFF);
-                    dst.push_back(b);
-                    if (b == 0xFF) dst.push_back(0x00);
+                    *w++ = b;
+                    if (b == 0xFF) *w++ = 0x00;
                 }
                 acc &= (1ull << nbits) - 1ull;
             };
-            if (lead) {
+            if (lead && remaining > 0) {
                 int take = (int)std::min<int64_t>(8 - lead, remaining);
                 uint8_t b = in[ip++];
                 acc = (b >> (8 - lead - take)) & ((1u << take) - 1u);
@@ -281,6 +325,7 @@ extern "C" int64_t tpuenc_realign_segments(
                 nbits += pad;
             }
             flush();
+            dst.resize((size_t)(w - dst.data()));
         }
     };
     if (num_threads < 1) num_threads = 1;

@@ -14,15 +14,21 @@ import os
 # suite out of the cache also protects the long-lived TPU-program cache
 # from churn.  Must be set before tpuenc's import-time
 # enable_persistent_cache().
-os.environ.setdefault("TPUENC_JAX_CACHE", "0")
+if os.environ.get("TPUENC_TEST_TPU") != "1":
+    os.environ.setdefault("TPUENC_JAX_CACHE", "0")
 
 import jax
 
-try:
-    jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_num_cpu_devices", 8)
-except Exception:
-    pass
+# TPU tier (VERDICT r2 #2): `TPUENC_TEST_TPU=1 pytest -m tpu` keeps the
+# real backend so tests/test_tpu.py exercises actual Mosaic compilation
+# and byte parity on hardware.  Everything else runs on the virtual
+# 8-device CPU platform for determinism and speed.
+if os.environ.get("TPUENC_TEST_TPU") != "1":
+    try:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", 8)
+    except Exception:
+        pass
 
 # Default the general suite to the host entropy path (fast compiles);
 # test_device_entropy.py flips this per-test to cover the device path's

@@ -1,0 +1,180 @@
+"""Real-TPU tier (VERDICT r2 #2): run the byte-parity surface on actual
+Mosaic-compiled kernels, not interpret mode.
+
+Usage:  TPUENC_TEST_TPU=1 python -m pytest tests/test_tpu.py -m tpu -q
+
+When ``TPUENC_TEST_TPU=1`` the conftest leaves the real backend in place
+(no CPU forcing, persistent compile cache ON — first run pays tunnel
+compiles, reruns are fast).  Every test here asserts byte identity
+against either frozen golden fixtures or the host oracle packer, so a
+Mosaic miscompile on any device path (fixed tables, progressive spec,
+batch, chunked mid-stream offsets, fold-plan branches) fails loudly
+instead of hiding behind the silent host fallback.
+
+The equivalent of the reference's CI intent
+(``/root/reference/.github/workflows/rust.yml``: test the SIMD backend on
+hardware that has it).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+pytestmark = [
+    pytest.mark.tpu,
+    pytest.mark.skipif(
+        os.environ.get("TPUENC_TEST_TPU") != "1",
+        reason="real-TPU tier: set TPUENC_TEST_TPU=1",
+    ),
+]
+
+
+def _require_tpu():
+    import jax
+
+    if jax.default_backend() != "tpu":
+        pytest.skip("no TPU attached")
+
+
+@pytest.fixture(autouse=True)
+def _tpu_only():
+    _require_tpu()
+
+
+HERE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+
+# One fixture per device-relevant mode family (the full 26-case corpus
+# runs in the CPU suite; here each case costs a tunnel compile).
+FIXTURES = [
+    "baseline_q90_444",        # interleaved single-scan flagship
+    "restart2_q80_420",        # restart segments + subsampling
+    "progressive4_q90",        # DC scans + AC band scans (12-scan plan)
+    "factor4_seq_q85",         # factor-4 forced sequential
+    "optimized_q95",           # two-pass optimized tables (cm hist path)
+    "opt_prog3_rst3_q90",      # optimized + progressive + restart
+    "ycck_prog4_rst2_q90",     # 4-component YCCK progressive
+    "geom258x172_rst4_q80_420",  # reference partial-MCU stress geometry
+    "customq_allones",         # custom quantization tables
+]
+
+
+@pytest.mark.parametrize("version", ["v1", "v2"])
+@pytest.mark.parametrize("name", FIXTURES)
+def test_golden_bytes_on_tpu(name, version, monkeypatch):
+    """Frozen fixture bytes must reproduce under real Mosaic compilation
+    on both device packers, strict (no silent host fallback)."""
+    from tests.fixtures.generate import _img, build_cases
+
+    cases = build_cases()
+    build, ct, ch, seed, w, h = cases[name]
+    monkeypatch.setenv("TPUENC_DEVICE_ENTROPY", "strict")
+    monkeypatch.setenv("TPUENC_PACK", version)
+    want = open(os.path.join(HERE, f"{name}.jpg"), "rb").read()
+    enc = build()
+    got = enc.encode(_img(ch, seed, w, h).tobytes(), w, h, ct)
+    assert got == want, f"{name} drift on TPU device pack {version}"
+    assert enc.last_encode_path.startswith("device"), enc.last_encode_path
+
+
+def test_pallas_fdct_quantize_exact(monkeypatch):
+    """Fused Mosaic fDCT+zigzag+quantize == XLA reference lowering,
+    element-exact over random blocks (non-interpret)."""
+    import jax
+
+    from tpuenc.core.tables import quantization_table
+    from tpuenc.kernels.fdct import fdct_blocks
+    from tpuenc.kernels.pallas_fdct import fdct_quantize_pallas
+    from tpuenc.kernels.quantize import quantize_zigzag
+
+    rng = np.random.default_rng(11)
+    blocks = rng.integers(-128, 128, (1024, 8, 8)).astype(np.int16)
+    q = quantization_table("default", 85, luma=True)
+
+    got = np.asarray(
+        jax.jit(lambda b: fdct_quantize_pallas(b.reshape(-1, 64), q))(blocks)
+    )
+    dct = fdct_blocks(blocks.astype(np.int32))
+    want = np.asarray(quantize_zigzag(dct.reshape(-1, 64), q))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_encode_stream_parity_on_tpu(monkeypatch):
+    """Streaming bands through the real chip concatenate to encode()'s
+    bytes (chunked mid-stream offsets under Mosaic)."""
+    monkeypatch.setenv("TPUENC_DEVICE_ENTROPY", "strict")
+    from tpuenc import ColorType, Encoder
+
+    rng = np.random.default_rng(5)
+    w, h = 320, 240
+    img = rng.integers(0, 256, (h, w, 3), np.uint8)
+
+    enc = Encoder(90)
+    enc.set_restart_interval(8)
+    want = enc.encode(img, w, h, ColorType.RGB)
+
+    enc2 = Encoder(90)
+    enc2.set_restart_interval(8)
+    got = b"".join(enc2.encode_stream(img, w, h, ColorType.RGB))
+    assert got == want
+
+
+def test_encode_batch_parity_on_tpu(monkeypatch):
+    monkeypatch.setenv("TPUENC_DEVICE_ENTROPY", "strict")
+    from tpuenc import ColorType, Encoder
+
+    rng = np.random.default_rng(6)
+    w, h = 96, 64
+    imgs = [rng.integers(0, 256, (h, w, 3), np.uint8).tobytes()
+            for _ in range(3)]
+    batch = Encoder(85).encode_batch(imgs, w, h, ColorType.RGB)
+    singles = [Encoder(85).encode(im, w, h, ColorType.RGB) for im in imgs]
+    assert batch == singles
+
+
+def test_chunked_path_parity_on_tpu(monkeypatch):
+    """Force the bounded-memory chunked device path and compare bytes
+    against the whole-image device path."""
+    from tpuenc import ColorType, Encoder
+    import tpuenc.api as api
+
+    monkeypatch.setenv("TPUENC_DEVICE_ENTROPY", "strict")
+    rng = np.random.default_rng(7)
+    w, h = 320, 240
+    img = rng.integers(0, 256, (h, w, 3), np.uint8)
+
+    enc = Encoder(90)
+    enc.set_restart_interval(8)
+    want = enc.encode(img, w, h, ColorType.RGB)
+    assert enc.last_encode_path.startswith("device-v")
+
+    monkeypatch.setattr(api, "DEVICE_BLOCK_LIMIT", 64)
+    enc2 = Encoder(90)
+    enc2.set_restart_interval(8)
+    got = enc2.encode(img, w, h, ColorType.RGB)
+    assert enc2.last_encode_path == "device-chunked"
+    assert got == want
+
+
+def test_decode_with_pillow_on_tpu(monkeypatch):
+    """End-to-end sanity: TPU-encoded bytes decode via Pillow (independent
+    libjpeg) within the reference suite's |diff| < 20 tolerance on a
+    smooth gradient (lib.rs:162-186)."""
+    monkeypatch.setenv("TPUENC_DEVICE_ENTROPY", "strict")
+    PIL = pytest.importorskip("PIL.Image")
+    from tpuenc import ColorType, Encoder
+
+    w, h = 258, 172  # partial trailing MCU (lib.rs:82)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [xx * 255 // w, yy * 255 // h, (xx + yy) * 127 // (w + h)], axis=2
+    ).astype(np.uint8)
+    out = Encoder(90).encode(img, w, h, ColorType.RGB)
+    im = PIL.open(io.BytesIO(out))
+    im.load()
+    assert im.size == (w, h)
+    dec = np.asarray(im.convert("RGB"), dtype=np.int16)
+    assert np.abs(dec - img.astype(np.int16)).max() < 20

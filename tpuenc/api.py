@@ -589,7 +589,7 @@ class Encoder:
                 return None
 
             if config.optimize_huffman_table:
-                fn, comps = de._build_coeff_hist_fn(
+                fn, comps, cm = de._build_coeff_hist_fn(
                     width, height, color_type, config
                 )
                 streams, hists = fn(pixels)
@@ -608,7 +608,7 @@ class Encoder:
                     ]
                 scans = de.device_encode_scans(
                     pixels, width, height, color_type, config, huffman,
-                    comp_streams=streams,
+                    comp_streams=streams, comp_streams_cm=cm,
                 )
             else:
                 scans = de.device_encode_scans(

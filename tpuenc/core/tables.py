@@ -346,49 +346,55 @@ def optimized_huffman_table(freq: np.ndarray) -> HuffmanTable:
     The histogram itself is produced on device and psum-reduced across the
     mesh; only this tiny O(257 log 257) build runs on host.
     """
-    freq = np.array(freq, dtype=np.int64)
-    assert freq.shape == (257,)
-    others = np.full(257, -1, dtype=np.int64)
-    codesize = np.zeros(257, dtype=np.int64)
+    freq = [int(f) for f in np.asarray(freq, dtype=np.int64)]
+    assert len(freq) == 257
+    others = [-1] * 257
+    codesize = [0] * 257
+
+    # Lazy-deletion min-heap keyed (freq, -index): pop order is exactly the
+    # reference's scan rule — minimum frequency, ties broken by the LARGEST
+    # index ("<= keeps last" in the linear scan).  Entries go stale when a
+    # merge raises freq[i] (strictly, since merged-in freqs are positive) or
+    # zeroes it, so a popped (f, i) is live iff freq[i] == f > 0.
+    import heapq
+
+    heap = [(f, -i) for i, f in enumerate(freq) if f > 0]
+    heapq.heapify(heap)
+
+    def pop_live():
+        while heap:
+            f, ni = heapq.heappop(heap)
+            i = -ni
+            if freq[i] == f and f > 0:
+                return i
+        return -1
 
     while True:
-        # Largest index among least nonzero frequencies (<= keeps last).
-        v1 = -1
-        v1_min = np.iinfo(np.int64).max
-        for i in range(257):
-            f = freq[i]
-            if f > 0 and f <= v1_min:
-                v1_min = f
-                v1 = i
+        v1 = pop_live()
         if v1 < 0:
             break
-        v2 = -1
-        v2_min = np.iinfo(np.int64).max
-        for i in range(257):
-            f = freq[i]
-            if f > 0 and f <= v2_min and i != v1:
-                v2_min = f
-                v2 = i
+        v2 = pop_live()
         if v2 < 0:
             break
 
         freq[v1] += freq[v2]
         freq[v2] = 0
+        heapq.heappush(heap, (freq[v1], -v1))
 
         codesize[v1] += 1
         while others[v1] >= 0:
-            v1 = int(others[v1])
+            v1 = others[v1]
             codesize[v1] += 1
         others[v1] = v2
         codesize[v2] += 1
         while others[v2] >= 0:
-            v2 = int(others[v2])
+            v2 = others[v2]
             codesize[v2] += 1
 
+    cs = np.asarray(codesize, dtype=np.int64)
     bits = np.zeros(33, dtype=np.int64)
-    for size in codesize:
-        if size > 0:
-            bits[size] += 1
+    nz_sizes = cs[cs > 0]
+    np.add.at(bits, nz_sizes, 1)
 
     # Figure K.3: limit code lengths to 16 bits.
     i = 32
@@ -407,12 +413,10 @@ def optimized_huffman_table(freq: np.ndarray) -> HuffmanTable:
         i -= 1
     bits[i] -= 1  # remove the reserved symbol's code
 
-    # Figure K.4: sort symbol values by code size.
-    huffval = []
-    for size in range(1, 33):
-        for sym in range(256):
-            if codesize[sym] == size:
-                huffval.append(sym)
+    # Figure K.4: sort symbol values by code size (stable keeps the
+    # ascending-symbol order within each size, matching the scan loop).
+    syms = np.nonzero(cs[:256] > 0)[0]
+    huffval = syms[np.argsort(cs[:256][syms], kind="stable")].tolist()
 
     lengths = [int(bits[i + 1]) for i in range(16)]
     return huffman_table(lengths, huffval)

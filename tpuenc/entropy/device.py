@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -28,77 +29,122 @@ def bit_length(v):
     return size
 
 
-def ac_stats(blocks, start: int, end: int):
+def ac_stats(blocks, start: int, end: int, cm: bool = False):
     """Vectorized run-length stats for band [start, end): returns
     (nz, zrl, sym, size) arrays plus eob flags — jnp twin of
-    ``symbols.ac_symbols``."""
-    band = blocks[:, start:end].astype(jnp.int32)
+    ``symbols.ac_symbols``.
+
+    ``cm=False``: ``blocks`` is block-major (B, 64), the slot axis is 1.
+    ``cm=True``: coefficient-major (64, B) as produced by the Pallas
+    pipeline — the same math runs along axis 0, keeping the stream in its
+    native layout (no device transpose)."""
+    axis = 0 if cm else 1
+    band = (blocks[start:end, :] if cm else blocks[:, start:end]).astype(
+        jnp.int32
+    )
     L = end - start
     nz = band != 0
-    idx = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32), band.shape)
-    lastnz = jax_cummax(jnp.where(nz, idx, -1))
-    prev = jnp.concatenate(
-        [jnp.full((band.shape[0], 1), -1, dtype=jnp.int32), lastnz[:, :-1]],
-        axis=1,
+    shape = (L, 1) if cm else (1, L)
+    idx = jnp.broadcast_to(
+        jnp.arange(L, dtype=jnp.int32).reshape(shape), band.shape
     )
+    lastnz = jax_cummax(jnp.where(nz, idx, -1), axis)
+    if cm:
+        prev = jnp.concatenate(
+            [jnp.full((1,) + band.shape[1:], -1, dtype=jnp.int32),
+             lastnz[:-1, :]],
+            axis=0,
+        )
+    else:
+        prev = jnp.concatenate(
+            [jnp.full((band.shape[0], 1), -1, dtype=jnp.int32),
+             lastnz[:, :-1]],
+            axis=1,
+        )
     run = idx - prev - 1
     size = bit_length(band)
     sym = ((run & 15) << 4) | size
     zrl = jnp.where(nz, run >> 4, 0)
-    eob = lastnz[:, -1] < (L - 1)
+    eob = (lastnz[-1, :] if cm else lastnz[:, -1]) < (L - 1)
     return nz, zrl, sym, size, eob
 
 
-def jax_cummax(x):
+def jax_cummax(x, axis: int = 1):
     import jax.lax as lax
 
-    return lax.cummax(x, axis=1)
+    return lax.cummax(x, axis=axis)
 
 
-def _bincount257(values):
-    """257-bin histogram of int32 values via broadcast-compare-reduce.
-
-    TPU scatter-adds (``hist.at[v].add(1)``) lower to a serial loop and
-    cost ~54 ms for a 6M-element flagship histogram; the fused
-    compare-reduce runs the same count in ~1.4 ms (measured on v5e).
-    """
-    bins = jnp.arange(257, dtype=jnp.int32)
-    eq = (values.reshape(-1, 1) == bins.reshape(1, 257)).astype(jnp.int32)
+def _bincount_small(values, n_bins: int):
+    """n-bin compare-reduce histogram.  TPU scatter-adds
+    (``hist.at[v].add(1)``) lower to a serial loop (~54 ms for a 6M-element
+    histogram); the fused compare-reduce runs the same count in ~1.4 ms on
+    v5e, and keeping n_bins at the actual category count (17 for DC sizes
+    instead of 257) cuts the compare work 15x further."""
+    bins = jnp.arange(n_bins, dtype=jnp.int32)
+    eq = (values.reshape(-1, 1) == bins.reshape(1, n_bins)).astype(jnp.int32)
     return jnp.sum(eq, axis=0)
 
 
-def ac_histogram(blocks, start: int, end: int, valid=None):
+def ac_histogram(blocks, start: int, end: int, valid=None, cm: bool = False):
     """257-bin AC symbol histogram of one spectral band (device).
 
     ``valid`` is an optional (N,) bool mask: blocks outside it contribute
     nothing — used by the striped path to exclude stripe-alignment padding
-    rows from the table statistics."""
-    nz, zrl, sym, _, eob = ac_stats(blocks, start, end)
+    rows from the table statistics.
+
+    The (run, size) count matrix is computed as a one-hot int8 matmul —
+    ``onehot(run)ᵀ @ onehot(size)`` with int32 accumulation — so the
+    histogram rides the MXU instead of a 257-wide VPU compare-reduce
+    (~3x fewer ms on the flagship shape).  ``sym = run<<4 | size`` means
+    bin layout (16, 16) row-major equals the symbol value; the size==16
+    column (unreachable for int16 coefficients but kept for exactness)
+    aliases into bin (run+1)<<4 exactly as ``np.bincount`` does on the
+    host, with run==15/size==16 (sym 256) dropped by both."""
+    nz, zrl, sym, size, eob = ac_stats(blocks, start, end, cm=cm)
     if valid is not None:
-        nz = nz & valid[:, None]
-        zrl = jnp.where(valid[:, None], zrl, 0)
+        vmask = valid[None, :] if cm else valid[:, None]
+        nz = nz & vmask
+        zrl = jnp.where(vmask, zrl, 0)
         eob = eob & valid
-    sym_or_pad = jnp.where(nz, sym, 256)  # route zeros into the unused bin
-    hist = _bincount257(sym_or_pad.reshape(-1))
-    hist = hist.at[256].set(0)
+    run4 = (sym >> 4) & 15
+    fr = run4.reshape(-1)
+    fs = size.reshape(-1)
+    oh_r = (
+        (fr[:, None] == jnp.arange(16, dtype=jnp.int32)[None, :])
+        & nz.reshape(-1)[:, None]
+    ).astype(jnp.int8)
+    oh_s = (
+        fs[:, None] == jnp.arange(17, dtype=jnp.int32)[None, :]
+    ).astype(jnp.int8)
+    cnt = jax.lax.dot_general(
+        oh_r, oh_s,
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # (16, 17): count of nonzero coefficients per (run & 15, size)
+    hist = jnp.concatenate(
+        [cnt[:, :16].reshape(256), jnp.zeros(1, dtype=jnp.int32)]
+    )
+    hist = hist.at[jnp.arange(1, 16) * 16].add(cnt[:15, 16])
     hist = hist.at[0xF0].add(jnp.sum(zrl))
     hist = hist.at[0x00].add(jnp.sum(eob.astype(jnp.int32)))
     return hist
 
 
-def dc_histogram(blocks):
+def dc_histogram(blocks, cm: bool = False):
     """257-bin DC-size histogram over one component stream (no restart
     resets, matching encoder.rs:1100-1117)."""
-    dc = blocks[:, 0].astype(jnp.int32)
+    dc = (blocks[0, :] if cm else blocks[:, 0]).astype(jnp.int32)
     prev = jnp.concatenate([jnp.zeros(1, dtype=jnp.int32), dc[:-1]])
     sizes = bit_length(dc - prev)
-    return _bincount257(sizes)
+    return jnp.pad(_bincount_small(sizes, 17), (0, 240))
 
 
 def scan_histograms(
     comp_blocks: Sequence,
     components,
     progressive_scans: Optional[int],
+    cm: bool = False,
 ) -> Tuple:
     """Per-table (dc, ac) histograms, device-side, ready for psum.
 
@@ -115,12 +161,12 @@ def scan_histograms(
         ac = jnp.zeros(257, dtype=jnp.int32)
         for comp, blocks in zip(components, comp_blocks):
             if comp.dc_huffman_table == table:
-                dc = dc + dc_histogram(blocks)
+                dc = dc + dc_histogram(blocks, cm=cm)
             if comp.ac_huffman_table == table:
                 if progressive_scans is not None:
                     for start, end in progressive_bands(progressive_scans):
-                        ac = ac + ac_histogram(blocks, start, end)
+                        ac = ac + ac_histogram(blocks, start, end, cm=cm)
                 else:
-                    ac = ac + ac_histogram(blocks, 1, 64)
+                    ac = ac + ac_histogram(blocks, 1, 64, cm=cm)
         out.append((dc, ac))
     return tuple(out)

@@ -343,10 +343,12 @@ def _build_pack_only_fn(
     config: EncoderConfig,
     budget: int,
     version: str = "v1",
+    cm: bool = False,
 ):
     """Packing stage alone: jit(streams..., tables...) -> (buf, meta).
     Used for the two-pass optimized-table flow where coefficients already
-    live on device."""
+    live on device.  ``cm=True`` expects coefficient-major (64, B) streams
+    (the layout :func:`_build_coeff_hist_fn` produces on the Pallas path)."""
     from ..kernels.pipeline import scan_layout
 
     layout = scan_layout(width, height, color_type, config)
@@ -360,7 +362,7 @@ def _build_pack_only_fn(
                 dc_sizes, dc_codes, ac_sizes, ac_codes
             )
             return _pack_scans_v2(
-                streams, scan_plan, dc_p, ac_p, budget, interpret
+                streams, scan_plan, dc_p, ac_p, budget, interpret, cm=cm
             )
         return _pack_scans(
             streams, scan_plan, None,
@@ -387,21 +389,30 @@ def _build_coeff_hist_fn(
 ):
     """jit(pixels) -> (comp_streams, histograms) with everything staying on
     device.  First pass of the optimized-table flow; in the sharded path the
-    histograms are additionally psum-reduced over the mesh."""
+    histograms are additionally psum-reduced over the mesh.
+
+    Returns ``(fn, components, cm)``: on the Pallas+v2 path the whole pass
+    runs coefficient-major — streams come back as (64, B) arrays and the
+    histograms reduce along the lane axis in place (measured 3-19 ms saved
+    per 3.6 MP vs the block-major layout's transposes) — and the caller
+    must pack them with ``_build_pack_only_fn(..., cm=True)``."""
     from ..kernels.pipeline import _build_coefficients_fn, scan_layout
     from .device import scan_histograms
 
     layout = scan_layout(width, height, color_type, config)
     components = layout["components"]
     coeff_fn, _ = _build_coefficients_fn(width, height, color_type, config, False)
-    inner = coeff_fn.raw_fn
+    cm = pack_version() == "v2" and coeff_fn.raw_fn_cm is not None
+    inner = coeff_fn.raw_fn_cm if cm else coeff_fn.raw_fn
 
     def fn(pixels):
         streams = inner(pixels)
-        hists = scan_histograms(streams, components, config.progressive_scans)
+        hists = scan_histograms(
+            streams, components, config.progressive_scans, cm=cm
+        )
         return streams, hists
 
-    return jax.jit(fn), components
+    return jax.jit(fn), components, cm
 
 
 @lru_cache(maxsize=64)
@@ -748,10 +759,12 @@ def device_encode_scans(
     config: EncoderConfig,
     huffman,
     comp_streams=None,
+    comp_streams_cm: bool = False,
 ) -> Optional[List[bytes]]:
     """Encode all scans on device; returns the per-scan entropy byte strings
     (stuffed, with RST markers) in scan order, or None if the device path
-    declines (pathological overflow)."""
+    declines (pathological overflow).  ``comp_streams_cm`` says the given
+    streams are coefficient-major (64, B)."""
     version = pack_version()
     key = (width, height, color_type, config, version)
     tabs = tables_to_device(huffman)
@@ -768,7 +781,8 @@ def device_encode_scans(
             buf, meta = fn(pixels, *tabs)
         else:
             fn, scan_plan, seg_structure = _build_pack_only_fn(
-                width, height, color_type, config, budget, version
+                width, height, color_type, config, budget, version,
+                cm=comp_streams_cm,
             )
             buf, meta = fn(tuple(comp_streams), *tabs)
 

@@ -193,7 +193,7 @@ def _build_stripe_fn(
                     )
                     sizes = bit_length(dcv - prev)
                     # Masked bincount via compare-reduce (TPU scatter-adds
-                    # serialize; see entropy.device._bincount257).
+                    # serialize; see entropy.device._bincount_small).
                     eq = (sizes[:, :, None] == bins257) & valid[None, :, None]
                     dc = dc + jnp.sum(eq.astype(jnp.int32), axis=1)
                 if comp.ac_huffman_table == table:
