@@ -162,8 +162,10 @@ def test_encode_stream_matches_encode(name, setup, monkeypatch):
 
 
 def test_encode_stream_multiscan_fallback(monkeypatch):
-    """Progressive (multi-pass) yields the whole body as one piece but
-    still matches encode()."""
+    """Progressive (multi-pass) streams per scan — one piece per SOS +
+    payload, then EOI — and the concatenation matches encode()
+    (reference writes each scan to the sink as produced,
+    encoder.rs:869-975)."""
     rng = np.random.default_rng(5)
     w, h = 40, 40
     img = rng.integers(0, 256, (h, w, 3), np.uint8)
@@ -172,8 +174,39 @@ def test_encode_stream_multiscan_fallback(monkeypatch):
     want = enc.encode(img.tobytes(), w, h, ColorType.RGB)
     enc2 = Encoder(80)
     enc2.set_progressive(True)
-    got = b"".join(enc2.encode_stream(img.tobytes(), w, h, ColorType.RGB))
-    assert got == want
+    pieces = list(enc2.encode_stream(img.tobytes(), w, h, ColorType.RGB))
+    assert b"".join(pieces) == want
+    if enc2.last_encode_path.startswith("device"):
+        # 4-scan progressive: 3 DC + 3*3 AC band scans + EOI.
+        assert len(pieces) == 13
+        assert pieces[-1] == b"\xff\xd9"
+        # every piece after the first starts with an SOS marker
+        for p in pieces[1:-1]:
+            assert p[:2] == b"\xff\xda"
+
+    # Host-only path still yields a single body piece, identical bytes.
+    monkeypatch.setenv("TPUENC_DEVICE_ENTROPY", "0")
+    enc3 = Encoder(80)
+    enc3.set_progressive(True)
+    got3 = b"".join(enc3.encode_stream(img.tobytes(), w, h, ColorType.RGB))
+    assert got3 == want
+
+
+def test_encode_stream_optimized_per_scan(monkeypatch):
+    """Optimized tables (two-pass) also stream per scan with identical
+    bytes; the frame header carries the optimized DHT."""
+    monkeypatch.setenv("TPUENC_DEVICE_ENTROPY", "strict")
+    rng = np.random.default_rng(6)
+    w, h = 38, 26
+    img = rng.integers(0, 256, (h, w, 3), np.uint8)
+    enc = Encoder(92)
+    enc.set_optimized_huffman_tables(True)
+    want = enc.encode(img.tobytes(), w, h, ColorType.RGB)
+    enc2 = Encoder(92)
+    enc2.set_optimized_huffman_tables(True)
+    pieces = list(enc2.encode_stream(img.tobytes(), w, h, ColorType.RGB))
+    assert b"".join(pieces) == want
+    assert len(pieces) == 4  # 3 sequential scans + EOI
 
 
 def test_encode_stream_row_source(monkeypatch):

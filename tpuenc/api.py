@@ -316,7 +316,9 @@ class Encoder:
                     self._drain_source(source, width, height, color_type),
                     width, height, color_type,
                 )
-            yield self._encode_pixels(pixels, width, height, color_type)
+            yield from self._stream_multipass(
+                pixels, width, height, color_type, config
+            )
             return
 
         from .entropy.chunked import iter_encode_interleaved_chunked
@@ -347,6 +349,75 @@ class Encoder:
             width, height, color_type, config, huffman,
             chunk_mcu_rows,
         )
+        yield segments.marker(markers.EOI)
+
+    def _stream_multipass(self, pixels, width, height, color_type, config):
+        """Per-scan streaming for multi-pass modes: coefficients are
+        materialized by design (encoder.rs:810-864, 869-975), but the
+        OUTPUT still streams — leading segments + frame header with the
+        first scan, then each further scan's SOS + entropy payload as its
+        own piece, then EOI — mirroring the reference writing each scan to
+        the sink as it is produced instead of retaining the whole body."""
+        import os
+
+        flag = os.environ.get("TPUENC_DEVICE_ENTROPY", "1")
+        jct = color_type.jpeg_color_type
+        components = init_components(jct, config.sampling_factor)
+        q_tables = [
+            quantization_table(config.quantization[0], config.quality, luma=True),
+            quantization_table(config.quantization[1], config.quality, luma=False),
+        ]
+        huffman = [list(pair) for pair in default_tables()]
+
+        scans = None
+        if flag != "0":
+            ncomp = len(components)
+            plan_len = ncomp
+            if config.progressive_scans is not None:
+                plan_len = ncomp + (config.progressive_scans - 1) * ncomp
+            blocks = (width // 8 + 1) * (height // 8 + 1)
+            if plan_len <= 48 and blocks <= DEVICE_BLOCK_LIMIT:
+                try:
+                    from .entropy.device_encode import pack_version
+
+                    scans = self._device_scan_payloads(
+                        pixels, width, height, color_type, config, huffman
+                    )
+                    if scans is not None:
+                        self.last_encode_path = f"device-{pack_version()}"
+                except Exception as e:
+                    if flag == "strict":
+                        raise
+                    FALLBACK_COUNTS["error"] += 1
+                    _log.warning(
+                        "device entropy path failed; falling back to host:"
+                        " %r", e
+                    )
+                    scans = None
+        if scans is None:
+            # Host (or declined-device) path: one body piece, identical
+            # bytes, same fallback accounting as encode().
+            yield self._encode_pixels(pixels, width, height, color_type)
+            return
+
+        from .entropy.device_encode import build_scan_plan
+        from .kernels.pipeline import scan_layout
+
+        out = self._leading_segments(config, jct)
+        out += self._frame_header(
+            width, height, components, q_tables, huffman, config,
+            len(components),
+        )
+        layout = scan_layout(width, height, color_type, config)
+        plan = build_scan_plan(layout, components, config)
+        interleaved = layout["interleaved"]
+        piece = bytes(out)
+        for (stream_idx, spec, spectral), payload in zip(plan, scans):
+            sos_comps = (
+                list(components) if interleaved else [components[stream_idx]]
+            )
+            yield piece + segments.sos(sos_comps, spectral) + payload
+            piece = b""
         yield segments.marker(markers.EOI)
 
     @staticmethod
@@ -588,32 +659,9 @@ class Encoder:
                 )
                 return None
 
-            if config.optimize_huffman_table:
-                fn, comps, cm = de._build_coeff_hist_fn(
-                    width, height, color_type, config
-                )
-                streams, hists = fn(pixels)
-                from .core.tables import optimized_huffman_table
-
-                for i, (dc_h, ac_h) in enumerate(hists):
-                    dc_freq = np.zeros(257, np.int64)
-                    dc_freq[:256] = np.asarray(dc_h)[:256]
-                    dc_freq[256] = 1
-                    ac_freq = np.zeros(257, np.int64)
-                    ac_freq[:256] = np.asarray(ac_h)[:256]
-                    ac_freq[256] = 1
-                    huffman[i] = [
-                        optimized_huffman_table(dc_freq),
-                        optimized_huffman_table(ac_freq),
-                    ]
-                scans = de.device_encode_scans(
-                    pixels, width, height, color_type, config, huffman,
-                    comp_streams=streams, comp_streams_cm=cm,
-                )
-            else:
-                scans = de.device_encode_scans(
-                    pixels, width, height, color_type, config, huffman
-                )
+            scans = self._device_scan_payloads(
+                pixels, width, height, color_type, config, huffman
+            )
             if scans is None:
                 _log.info("device entropy declined: budget overflow")
                 return None
@@ -630,6 +678,42 @@ class Encoder:
                 "device entropy path failed; falling back to host: %r", e
             )
             return None
+
+    @staticmethod
+    def _device_scan_payloads(
+        pixels, width, height, color_type, config, huffman,
+    ) -> Optional[list]:
+        """Per-scan device entropy payloads (stuffed, RST-inserted), or
+        None on budget overflow.  Mutates ``huffman`` in place with the
+        optimized tables when the config asks for them (the caller's
+        frame header must emit the tables the scans were packed with)."""
+        from .entropy import device_encode as de
+
+        if config.optimize_huffman_table:
+            fn, comps, cm = de._build_coeff_hist_fn(
+                width, height, color_type, config
+            )
+            streams, hists = fn(pixels)
+            from .core.tables import optimized_huffman_table
+
+            for i, (dc_h, ac_h) in enumerate(hists):
+                dc_freq = np.zeros(257, np.int64)
+                dc_freq[:256] = np.asarray(dc_h)[:256]
+                dc_freq[256] = 1
+                ac_freq = np.zeros(257, np.int64)
+                ac_freq[:256] = np.asarray(ac_h)[:256]
+                ac_freq[256] = 1
+                huffman[i] = [
+                    optimized_huffman_table(dc_freq),
+                    optimized_huffman_table(ac_freq),
+                ]
+            return de.device_encode_scans(
+                pixels, width, height, color_type, config, huffman,
+                comp_streams=streams, comp_streams_cm=cm,
+            )
+        return de.device_encode_scans(
+            pixels, width, height, color_type, config, huffman
+        )
 
     def _assemble_scans(
         self, scan_payloads, width, height, color_type, config, components,

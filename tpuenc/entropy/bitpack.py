@@ -103,8 +103,6 @@ def encode_scan(
     if emit_ac:
         sym = ac_symbols(blocks, spectral_start, spectral_end)
 
-    dc_size, dc_extra = (get_code(blocks[:, 0]) if emit_dc else (None, None))
-
     seg = restart_interval_blocks if restart_interval_blocks > 0 else B
     n_restarts = 0
     for b in range(B):

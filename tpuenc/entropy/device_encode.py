@@ -24,6 +24,7 @@ per (shape, config).
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from functools import lru_cache
 from typing import List, Optional, Tuple
 
@@ -41,15 +42,18 @@ from .huffopt import progressive_bands
 # (64 slots x 3 words + tail), so 224 words/block never clips.
 BUDGET_LADDER = (16, 48, 224)
 
-# (key) -> working budget, learned across calls.  Bounded: long-running
-# services encoding many distinct shapes must not grow it without limit.
-_budget_memo: dict = {}
+# (key) -> working budget, learned across calls.  Bounded LRU: long-running
+# services encoding many distinct shapes must not grow it without limit,
+# and evicting one stale entry beats dropping every learned budget at once.
+_budget_memo: OrderedDict = OrderedDict()
 _BUDGET_MEMO_MAX = 4096
 
 
 def _memo_put(key, budget: int) -> None:
-    if len(_budget_memo) >= _BUDGET_MEMO_MAX:
-        _budget_memo.clear()
+    if key in _budget_memo:
+        _budget_memo.move_to_end(key)
+    elif len(_budget_memo) >= _BUDGET_MEMO_MAX:
+        _budget_memo.popitem(last=False)
     _budget_memo[key] = budget
 
 
@@ -444,14 +448,16 @@ def fetch_bytes(buf, total: int) -> np.ndarray:
 # output slice can be dispatched concurrently with the metadata fetch
 # (one tunnel round trip instead of two).  Same bound policy as the
 # budget memo.
-_size_memo: dict = {}
+_size_memo: OrderedDict = OrderedDict()
 
 
 def _size_memo_put(key, total: int) -> None:
-    if len(_size_memo) >= _BUDGET_MEMO_MAX:
-        _size_memo.clear()
     prev = _size_memo.get(key, 0)
     if total > prev:
+        if key in _size_memo:
+            _size_memo.move_to_end(key)
+        elif len(_size_memo) >= _BUDGET_MEMO_MAX:
+            _size_memo.popitem(last=False)
         _size_memo[key] = total
 
 
