@@ -1,0 +1,151 @@
+"""BASELINE config 5 measured device-resident: 16K x 16K 4-component
+CMYK-as-YCCK through the bounded-memory chunked pipeline, with the input
+bands pre-staged in HBM so the tunneled host link (absent in a production
+host-TPU attachment) is excluded.  Host finishing (StreamingStuffer) and
+compressed-byte fetches ARE included — they are part of the pipeline.
+
+Usage: python benchmarks/config5_device.py [--size 16384] [--chunk 64]
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+
+def make_ycck(w, h, seed=42):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = np.stack(
+        [xx * 255 // w, yy * 255 // h, (xx + yy) * 255 // (w + h),
+         (xx ^ yy) % 160],
+        axis=2,
+    ).astype(np.int16)
+    noise = rng.integers(-20, 20, size=base.shape, dtype=np.int16)
+    return np.clip(base + noise, 0, 255).astype(np.uint8)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--size", type=int, default=16384)
+    p.add_argument("--chunk", type=int, default=64)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from tpuenc.core.tables import default_tables
+    from tpuenc.core.types import ColorType, EncoderConfig, SamplingFactor
+    from tpuenc.entropy.chunked import StreamingStuffer, _build_chunk_fn
+    from tpuenc.entropy.device_encode import tables_to_device
+    from tpuenc.entropy.pallas_pack import pack_tables
+
+    w = h = args.size
+    ct = ColorType.CMYK_AS_YCCK
+    config = EncoderConfig(
+        quality=90, sampling_factor=SamplingFactor.F_2_2,
+        restart_interval=None,
+    )
+    print(f"config5 device-resident: {w}x{h} YCCK, chunk={args.chunk} MCU rows",
+          flush=True)
+
+    t0 = time.perf_counter()
+    cache = f"/tmp/config5_input_{w}x{h}.npy"
+    import os
+    if os.path.exists(cache):
+        img = np.load(cache)
+    else:
+        img = make_ycck(w, h)
+        np.save(cache, img)
+    print(f"  input ready ({img.nbytes >> 20} MiB) in "
+          f"{time.perf_counter() - t0:.1f}s", flush=True)
+
+    mcu_h = 16  # 8 * max_v at F_2_2
+    num_rows = -(-h // mcu_h)
+    num_cols = -(-w // 16)
+    bpm = 6  # Y 2x2 + Cb + Cr ... YCCK: Y(2x2)=4 + Cb + Cr + K(2x2)=4 -> 10
+    from tpuenc.core.types import init_components, max_sampling
+    comps = init_components(ct.jpeg_color_type, config.sampling_factor)
+    bpm = sum(c.vertical_sampling_factor * c.horizontal_sampling_factor
+              for c in comps)
+    total_blocks = num_rows * num_cols * bpm
+
+    # Pre-stage padded bands on device.
+    chunk = min(args.chunk, num_rows)
+    n_full = num_rows // chunk
+    rem = num_rows - n_full * chunk
+    bands = []
+    t0 = time.perf_counter()
+    for ci in range(n_full + (1 if rem else 0)):
+        nrows = chunk if ci < n_full else rem
+        y0 = ci * chunk * mcu_h
+        slab = img[y0:y0 + nrows * mcu_h]
+        if slab.shape[0] < nrows * mcu_h:
+            slab = np.pad(slab, [(0, nrows * mcu_h - slab.shape[0]), (0, 0), (0, 0)],
+                          mode="edge")
+        bands.append(jax.device_put(slab))
+    jax.block_until_ready(bands[-1])
+    print(f"  staged {len(bands)} bands to HBM in {time.perf_counter()-t0:.1f}s",
+          flush=True)
+
+    huffman = [list(pr) for pr in default_tables()]
+    tabs = tables_to_device(huffman)
+    dc_packed, ac_packed = pack_tables(tabs)
+
+    from tpuenc.entropy.device_encode import BUDGET_LADDER
+
+    def run(measure=False):
+        budgets = list(BUDGET_LADDER)
+        stuffer = None
+        prev_tail = None
+        go = 0
+        out_bytes = 0
+        for ci, band in enumerate(bands):
+            nrows = chunk if ci < n_full else rem
+            while True:
+                fn, spec, pat, _ = _build_chunk_fn(
+                    w, nrows, ct, config, budgets[0]
+                )
+                if prev_tail is None:
+                    prev_tail = jnp.zeros((pat,), jnp.int32)
+                if stuffer is None:
+                    seg = (spec.seg_blocks if spec.seg_blocks > 0
+                           else total_blocks)
+                    stuffer = StreamingStuffer(seg, total_blocks)
+                stream, meta, lens, last_tail = fn(
+                    band, prev_tail, jnp.asarray(go, jnp.int32),
+                    dc_packed, ac_packed,
+                )
+                meta_np = np.asarray(meta)
+                if not meta_np[0]:
+                    break
+                assert len(budgets) > 1, "overflow at max budget"
+                budgets.pop(0)
+            nblocks = nrows * num_cols * bpm
+            piece = stuffer.add_chunk(
+                np.asarray(stream), int(meta_np[1]),
+                np.asarray(lens)[:nblocks].astype(np.int64),
+            )
+            out_bytes += len(piece)
+            prev_tail = last_tail
+            go += nblocks
+        out_bytes += len(stuffer.finish())
+        return out_bytes
+
+    t0 = time.perf_counter()
+    nb = run()
+    compile_s = time.perf_counter() - t0
+    print(f"  warm-up (incl. compile) {compile_s:.1f}s, output {nb >> 20} MiB",
+          flush=True)
+    t0 = time.perf_counter()
+    nb = run()
+    dt = time.perf_counter() - t0
+    print(f"config5 {w}x{h} YCCK chunked device-resident: "
+          f"{w * h / 1e6 / dt:.1f} MP/s ({dt:.2f}s, {nb} B out)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -32,8 +32,9 @@ CASES = [
         "f11",
         EncoderConfig(quality=90, sampling_factor=SamplingFactor.F_1_1),
         37, 22, marks=pytest.mark.slow),
-    ("f22", EncoderConfig(quality=80, sampling_factor=SamplingFactor.F_2_2),
-     70, 46),
+    pytest.param(
+        "f22", EncoderConfig(quality=80, sampling_factor=SamplingFactor.F_2_2),
+        70, 46, marks=pytest.mark.slow),
     pytest.param(
         "f21_restart",
         EncoderConfig(quality=80, sampling_factor=SamplingFactor.F_2_1,
@@ -97,7 +98,7 @@ def test_cm_streams_batched(cm_env):
 @pytest.mark.parametrize("mode", [
     "baseline",
     pytest.param("f22_restart", marks=pytest.mark.slow),
-    "progressive",
+    pytest.param("progressive", marks=pytest.mark.slow),
     pytest.param("sequential", marks=pytest.mark.slow),
 ])
 def test_cm_fused_byte_parity(mode, cm_env, monkeypatch):

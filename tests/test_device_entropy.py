@@ -142,7 +142,10 @@ def test_budget_overflow_flag():
         ("interleaved", 80, lambda e: None),
         ("q100_444", 100, lambda e: e.set_sampling_factor(SamplingFactor.F_1_1)),
         ("seq_4x1", 80, lambda e: e.set_sampling_factor(SamplingFactor.F_4_1)),
-        ("progressive", 80, lambda e: e.set_progressive(True)),
+        pytest.param(
+            "progressive", 80, lambda e: e.set_progressive(True),
+            marks=pytest.mark.slow,
+        ),
         ("optimized", 95, lambda e: e.set_optimized_huffman_tables(True)),
         pytest.param(
             "opt_prog",

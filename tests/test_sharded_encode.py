@@ -26,8 +26,10 @@ def _img(w, h, seed=0):
     [
         lambda e: None,
         lambda e: e.set_restart_interval(5),
-        lambda e: e.set_progressive(True),
-        lambda e: e.set_optimized_huffman_tables(True),
+        pytest.param(lambda e: e.set_progressive(True),
+                     marks=pytest.mark.slow),
+        pytest.param(lambda e: e.set_optimized_huffman_tables(True),
+                     marks=pytest.mark.slow),
         lambda e: e.set_sampling_factor(SamplingFactor.F_1_1),
     ],
 )

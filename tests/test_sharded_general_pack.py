@@ -69,6 +69,7 @@ def test_general_progressive():
 
 
 @needs_devices
+@pytest.mark.slow
 def test_general_optimized():
     _compare(lambda e: e.set_optimized_huffman_tables(True), W, H)
 

@@ -36,6 +36,7 @@ def test_packed_stripes_match_single(interval):
 
 
 @needs_devices
+@pytest.mark.slow
 def test_packed_stripes_batch_axis():
     mesh = make_mesh(8, batch=2)
     w, h = 32, 16 * 4 * 2

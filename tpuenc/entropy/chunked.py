@@ -208,7 +208,6 @@ class StreamingStuffer:
             self.acc.bits -= 8 * drop
 
 
-@lru_cache(maxsize=16)
 def _build_chunk_fn(
     width: int,
     chunk_mcu_rows: int,
@@ -216,16 +215,40 @@ def _build_chunk_fn(
     config: EncoderConfig,
     budget: int,
 ):
+    from ..kernels.pipeline import _use_pallas_fdct
+
+    return _build_chunk_fn_impl(
+        width, chunk_mcu_rows, color_type, config, budget,
+        _use_pallas_fdct(),
+    )
+
+
+@lru_cache(maxsize=16)
+def _build_chunk_fn_impl(
+    width: int,
+    chunk_mcu_rows: int,
+    color_type: ColorType,
+    config: EncoderConfig,
+    budget: int,
+    use_pallas: bool,
+):
     """jit((chunk_h, W, C) pixels, prev_tail (pat,), go scalar, tables)
     -> (stream_words, meta [ovf, bits], block_lens, last_tail (pat,)).
 
-    One compile per chunk height; interleaved single-scan only."""
+    One compile per chunk height; interleaved single-scan only.  On the
+    Pallas path the chunk runs coefficient-major (64, B) end-to-end —
+    fused Mosaic fDCT+quantize into the cm pack — exactly like the
+    whole-image fused program."""
     from ..entropy.device_encode import build_scan_plan
-    from ..kernels.pipeline import scan_layout, _blockify
+    from ..kernels.pipeline import scan_layout, _blockify, _blockify_cm
     from ..kernels.fdct import fdct_blocks
     from ..kernels.quantize import quantize_zigzag
     from ..kernels.color_convert import to_planes
-    from .pallas_pack import dc_diffs_for_spec, device_scan_pack
+    from .pallas_pack import (
+        dc_diffs_for_spec,
+        dc_diffs_from_dc,
+        device_scan_pack,
+    )
 
     jct = ColorType(color_type).jpeg_color_type
     components = init_components(jct, config.sampling_factor)
@@ -247,6 +270,38 @@ def _build_chunk_fn(
         quantization_table(config.quantization[1], config.quality, luma=False),
     ]
     interpret = jax.default_backend() != "tpu"
+
+    def fn_cm(px, prev_tail, go, dc_packed, ac_packed):
+        from ..kernels.pallas_fdct import fdct_quantize_pallas_cm
+
+        planes = to_planes(px, color_type)
+        streams = []
+        for comp in components:
+            h_scale = max_h // comp.horizontal_sampling_factor
+            v_scale = max_v // comp.vertical_sampling_factor
+            x_cm = _blockify_cm(planes[comp.id], v_scale, h_scale)
+            x = fdct_quantize_pallas_cm(
+                x_cm, q_tables[comp.quantization_table]
+            )
+            cv = comp.vertical_sampling_factor
+            ch = comp.horizontal_sampling_factor
+            if cv > 1 or ch > 1:  # raster -> MCU lane permutation
+                x = x.reshape(64, rows_local, cv, num_cols, ch)
+                x = x.transpose(0, 1, 3, 2, 4)
+            streams.append(x.reshape(64, rows_local * num_cols, cv * ch))
+        mcu = jnp.concatenate(streams, axis=-1).reshape(64, -1)
+
+        dcdiff = dc_diffs_from_dc(
+            mcu[0], spec, prev_tail=prev_tail, global_offset=go,
+        )
+        stream, bits, lens, ovf = device_scan_pack(
+            mcu, spec, dc_packed, ac_packed, budget,
+            interpret=interpret, dcdiff=dcdiff, cm=True,
+        )
+        B = mcu.shape[1]
+        last_tail = mcu[0, -pat:].astype(jnp.int32)
+        meta = jnp.stack([ovf.astype(jnp.int32), bits])
+        return stream, meta, lens[:B], last_tail
 
     def fn(px, prev_tail, go, dc_packed, ac_packed):
         planes = to_planes(px, color_type)
@@ -280,7 +335,7 @@ def _build_chunk_fn(
         meta = jnp.stack([ovf.astype(jnp.int32), bits])
         return stream, meta, lens[: blocks_flat.shape[0]], last_tail
 
-    return jax.jit(fn), spec, pat, num_cols
+    return jax.jit(fn_cm if use_pallas else fn), spec, pat, num_cols
 
 
 def iter_encode_interleaved_chunked(
