@@ -440,8 +440,15 @@ def iter_encode_interleaved_chunked(
                 raise RuntimeError("chunked pack overflow at max budget")
             budgets.pop(0)  # escalate THIS chunk; earlier bytes stay valid
         nblocks = nrows * num_cols * bpm
+        # Fetch only the words actually packed (bits/32), not the whole
+        # budget-capacity buffer — on big images the capacity is several
+        # x the payload and the fetch dominates the wall time on thin
+        # host links (measured 3x end-to-end on 16K x 16K).
+        from .device_encode import fetch_bytes
+
+        used_words = (int(meta_np[1]) + 31) >> 5
         piece = stuffer.add_chunk(
-            np.asarray(stream), int(meta_np[1]),
+            fetch_bytes(stream, used_words), int(meta_np[1]),
             np.asarray(lens)[:nblocks].astype(np.int64),
         )
         prev_tail = last_tail
