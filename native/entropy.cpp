@@ -24,7 +24,9 @@
 #include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <queue>
 #include <thread>
+#include <utility>
 #include <vector>
 
 namespace {
@@ -444,4 +446,104 @@ extern "C" int64_t tpuenc_encode_scan(
     w.finalize_bits();
     if (w.overflow) return -1;
     return w.len;
+}
+
+// Annex K.2 optimized Huffman table build from a 257-bin symbol histogram
+// (bin 256 = the reserved symbol, pre-seeded by the caller).  Byte-exact
+// twin of tables.optimized_huffman_table: figures K.1 (pairwise merge,
+// minimum frequency with ties broken by the LARGEST index), K.2 (bits
+// counting), K.3 (16-bit limiting) and K.4 (value sort).  Mirrors the
+// reference's tie-breaking (huffman.rs:99-221).  Returns the number of
+// values written, or -1 on error.  lengths_out: 16 counts (sizes 1..16);
+// values_out: up to 256 symbols.
+extern "C" int32_t tpuenc_build_k2(const int64_t* freq_in,
+                                   uint8_t* lengths_out,
+                                   uint8_t* values_out) {
+    int64_t freq[257];
+    int others[257];
+    int codesize[257];
+    for (int i = 0; i < 257; ++i) {
+        freq[i] = freq_in[i];
+        others[i] = -1;
+        codesize[i] = 0;
+    }
+
+    // Min-heap of (freq, -index) with lazy deletion: a popped entry is
+    // live iff freq[i] still equals f and f > 0.  Equal frequencies pop
+    // the largest index first ((f, -i) ordering), matching the
+    // reference's "<= keeps last" linear scan.
+    using Ent = std::pair<int64_t, int>;
+    std::priority_queue<Ent, std::vector<Ent>, std::greater<Ent>> heap;
+    for (int i = 0; i < 257; ++i)
+        if (freq[i] > 0) heap.emplace(freq[i], -i);
+
+    auto pop_live = [&]() -> int {
+        while (!heap.empty()) {
+            Ent e = heap.top();
+            heap.pop();
+            int i = -e.second;
+            if (freq[i] == e.first && e.first > 0) return i;
+        }
+        return -1;
+    };
+
+    for (;;) {
+        int v1 = pop_live();
+        if (v1 < 0) break;
+        int v2 = pop_live();
+        if (v2 < 0) break;
+
+        freq[v1] += freq[v2];
+        freq[v2] = 0;
+        heap.emplace(freq[v1], -v1);
+
+        codesize[v1] += 1;
+        while (others[v1] >= 0) {
+            v1 = others[v1];
+            codesize[v1] += 1;
+        }
+        others[v1] = v2;
+        codesize[v2] += 1;
+        while (others[v2] >= 0) {
+            v2 = others[v2];
+            codesize[v2] += 1;
+        }
+    }
+
+    int64_t bits[33] = {0};
+    for (int i = 0; i < 257; ++i)
+        if (codesize[i] > 0) {
+            if (codesize[i] > 32) return -1;
+            bits[codesize[i]] += 1;
+        }
+
+    // Figure K.3: limit code lengths to 16 bits.
+    for (int i = 32; i > 16; --i) {
+        while (bits[i] > 0) {
+            int j = i - 2;
+            while (bits[j] == 0) --j;
+            bits[i] -= 2;
+            bits[i - 1] += 1;
+            bits[j + 1] += 2;
+            bits[j] -= 1;
+        }
+    }
+    int i = 16;
+    while (bits[i] == 0) {
+        if (i <= 0) return -1;
+        --i;
+    }
+    bits[i] -= 1;  // remove the reserved symbol's code
+
+    for (int k = 0; k < 16; ++k)
+        lengths_out[k] = (uint8_t)bits[k + 1];
+
+    // Figure K.4: symbols sorted by code size, ascending symbol within a
+    // size (counting sort over sizes preserves the ascending-symbol
+    // order, i.e. a stable sort).
+    int n = 0;
+    for (int size = 1; size <= 32; ++size)
+        for (int s = 0; s < 256; ++s)
+            if (codesize[s] == size) values_out[n++] = (uint8_t)s;
+    return n;
 }

@@ -142,3 +142,43 @@ def test_optimized_table_length_limit():
     t = tables.optimized_huffman_table(freq)
     assert max(t.sizes[v] for v in t.values) <= 16
     _codes_are_prefix_free(t)
+
+
+def test_native_k2_matches_python_oracle():
+    """The native C++ Annex K.2 builder (entropy.cpp tpuenc_build_k2) must
+    produce identical (lengths, values) to the pure-Python oracle for any
+    histogram, including degenerate and tie-heavy ones."""
+    import numpy as np
+
+    from tpuenc.entropy import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(1234)
+    cases = []
+    for _ in range(200):
+        freq = np.zeros(257, np.int64)
+        n = int(rng.integers(1, 257))
+        idx = rng.choice(256, n, replace=False)
+        freq[idx] = rng.integers(1, 1 << int(rng.integers(1, 40)), n)
+        freq[256] = 1
+        cases.append(freq)
+    # Tie-heavy: all-equal frequencies exercise the largest-index rule.
+    flat = np.zeros(257, np.int64)
+    flat[:64] = 7
+    flat[256] = 1
+    cases.append(flat)
+    # Single symbol + reserved.
+    single = np.zeros(257, np.int64)
+    single[5] = 100
+    single[256] = 1
+    cases.append(single)
+
+    for freq in cases:
+        a = tables.optimized_huffman_table(freq)
+        b = tables._optimized_huffman_table_py(freq)
+        assert a.lengths == b.lengths
+        assert a.values == b.values

@@ -100,6 +100,12 @@ def _load():
             ctypes.c_void_p,   # out buffer
             ctypes.c_longlong, # out capacity
         ]
+        lib.tpuenc_build_k2.restype = ctypes.c_int32
+        lib.tpuenc_build_k2.argtypes = [
+            ctypes.c_void_p,   # freq int64 (257,)
+            ctypes.c_void_p,   # lengths out uint8 (16,)
+            ctypes.c_void_p,   # values out uint8 (256,)
+        ]
         _lib = lib
         return _lib
 
@@ -260,3 +266,23 @@ def stuff_segments_py(data: bytes, seg_lens) -> bytes:
         ip += ln
         out += chunk.replace(b"\xff", b"\xff\x00")
     return bytes(out)
+
+
+def build_k2(freq: np.ndarray):
+    """Native Annex K.2 table build (see tpuenc_build_k2 in entropy.cpp).
+    Returns (lengths[16], values) or None when the library is unavailable
+    or the histogram is degenerate."""
+    lib = _load()
+    if lib is None:
+        return None
+    freq = np.ascontiguousarray(freq, dtype=np.int64)
+    if freq.shape != (257,):
+        raise ValueError(f"expected 257-bin histogram, got {freq.shape}")
+    lengths = np.zeros(16, dtype=np.uint8)
+    values = np.zeros(256, dtype=np.uint8)
+    n = lib.tpuenc_build_k2(
+        freq.ctypes.data, lengths.ctypes.data, values.ctypes.data
+    )
+    if n < 0:
+        return None
+    return lengths.tolist(), values[:n].tolist()
