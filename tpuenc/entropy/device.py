@@ -145,14 +145,36 @@ def scan_histograms(
     components,
     progressive_scans: Optional[int],
     cm: bool = False,
+    pallas: Optional[bool] = None,
 ) -> Tuple:
     """Per-table (dc, ac) histograms, device-side, ready for psum.
 
     Mirrors ``huffopt.build_histograms`` except the reserved-symbol seed
     (freq[256] = 1) is added host-side after the mesh reduction so it is
     counted exactly once.
+
+    ``pallas`` routes the AC symbolization through the Mosaic kernel
+    (``pallas_hist``, coefficient-major streams only) — ~4x less HBM
+    traffic than the XLA formulation; default: on when ``cm`` unless
+    ``TPUENC_PALLAS_HIST=0``.  Identical counts either way
+    (tests/test_entropy.py).
     """
+    import os
+
     from .huffopt import progressive_bands
+
+    if pallas is None:
+        pallas = cm and os.environ.get("TPUENC_PALLAS_HIST", "1") != "0"
+    if pallas:
+        from .pallas_hist import ac_histogram_pallas
+
+        interpret = jax.default_backend() != "tpu"
+
+        def ac_fn(blocks, start, end):
+            return ac_histogram_pallas(blocks, start, end, interpret)
+    else:
+        def ac_fn(blocks, start, end):
+            return ac_histogram(blocks, start, end, cm=cm)
 
     max_tables = min(len(components), 2)
     out = []
@@ -165,8 +187,8 @@ def scan_histograms(
             if comp.ac_huffman_table == table:
                 if progressive_scans is not None:
                     for start, end in progressive_bands(progressive_scans):
-                        ac = ac + ac_histogram(blocks, start, end, cm=cm)
+                        ac = ac + ac_fn(blocks, start, end)
                 else:
-                    ac = ac + ac_histogram(blocks, 1, 64, cm=cm)
+                    ac = ac + ac_fn(blocks, 1, 64)
         out.append((dc, ac))
     return tuple(out)
