@@ -180,3 +180,33 @@ def test_histograms_match_device():
             # Host seeds freq[256]=1; device path adds it later.
             np.testing.assert_array_equal(hdc[:256], np.asarray(ddc)[:256])
             np.testing.assert_array_equal(hac[:256], np.asarray(dac)[:256])
+
+
+def test_realign_single_segment_parallel_parity():
+    """The in-segment parallel realign (entropy.cpp
+    realign_single_parallel, taken for 1 emitted segment >= 1 MiB and
+    num_threads > 1) must be byte-identical to the serial path across
+    bit offsets, tail remainders, and stuffing density."""
+    import numpy as np
+
+    from tpuenc.entropy import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(42)
+    nbytes = (1 << 20) + 4097
+    data = rng.integers(0, 256, nbytes + 16, dtype=np.uint8)
+    data[rng.random(data.shape) < 0.03] = 0xFF
+    data = data.tobytes()
+    for skip_bits in (0, 3, 11):
+        for tail in (0, 1, 7):
+            nbits = nbytes * 8 - 64 - tail
+            ser = native.realign_segments(data, [nbits], num_threads=1,
+                                          bit_offset=skip_bits)
+            par = native.realign_segments(data, [nbits], num_threads=4,
+                                          bit_offset=skip_bits)
+            assert ser == par
+            oracle = native.realign_segments_py(data, [nbits],
+                                                bit_offset=skip_bits)
+            assert par == oracle
