@@ -125,8 +125,11 @@ def main():
                 assert len(budgets) > 1, "overflow at max budget"
                 budgets.pop(0)
             nblocks = nrows * num_cols * bpm
+            from tpuenc.entropy.device_encode import fetch_bytes
+
+            used_words = (int(meta_np[1]) + 31) >> 5
             piece = stuffer.add_chunk(
-                np.asarray(stream), int(meta_np[1]),
+                fetch_bytes(stream, used_words), int(meta_np[1]),
                 np.asarray(lens)[:nblocks].astype(np.int64),
             )
             out_bytes += len(piece)
