@@ -103,6 +103,8 @@ def main():
         prev_tail = None
         go = 0
         out_bytes = 0
+        run.stuff_s = 0.0
+        run.fetch_s = 0.0
         for ci, band in enumerate(bands):
             nrows = chunk if ci < n_full else rem
             while True:
@@ -128,10 +130,13 @@ def main():
             from tpuenc.entropy.device_encode import fetch_bytes
 
             used_words = (int(meta_np[1]) + 31) >> 5
-            piece = stuffer.add_chunk(
-                fetch_bytes(stream, used_words), int(meta_np[1]),
-                np.asarray(lens)[:nblocks].astype(np.int64),
-            )
+            t_f = time.perf_counter()
+            words_np = fetch_bytes(stream, used_words)
+            lens_np = np.asarray(lens)[:nblocks].astype(np.int64)
+            run.fetch_s += time.perf_counter() - t_f
+            t_s = time.perf_counter()
+            piece = stuffer.add_chunk(words_np, int(meta_np[1]), lens_np)
+            run.stuff_s += time.perf_counter() - t_s
             out_bytes += len(piece)
             prev_tail = last_tail
             go += nblocks
@@ -146,8 +151,29 @@ def main():
     t0 = time.perf_counter()
     nb = run()
     dt = time.perf_counter() - t0
+
+    # On this rig device->host goes through a tunneled link (~20-50 MB/s);
+    # a production host-attached TPU fetches at PCIe rates.  Measure the
+    # link and report both the raw wall number and the link-adjusted
+    # engine rate (fetched bytes re-costed at 10 GB/s).
+    probe = jnp.zeros((32 << 20) // 4, jnp.uint32) + 1
+    probe = jax.device_put(np.zeros((32 << 20) // 4, np.uint32))
+    np.asarray(probe[:8])
+    t1 = time.perf_counter()
+    np.asarray(probe)
+    link_mbs = 32 / (time.perf_counter() - t1)
+    # bytes fetched per run: packed words (~nb of payload), int16 lens.
+    fetched = nb + 2 * total_blocks
+    link_s = fetched / (link_mbs * 1e6)
+    adj = dt - link_s + fetched / 10e9
+    print(f"  link {link_mbs:.0f} MB/s; fetched {fetched / 1e6:.0f} MB "
+          f"-> {link_s:.1f}s of tunnel time", flush=True)
+    print(f"  fetch calls {run.fetch_s:.2f}s, host stuffer {run.stuff_s:.2f}s "
+          f"(of {dt:.2f}s wall)", flush=True)
     print(f"config5 {w}x{h} YCCK chunked device-resident: "
-          f"{w * h / 1e6 / dt:.1f} MP/s ({dt:.2f}s, {nb} B out)", flush=True)
+          f"{w * h / 1e6 / dt:.1f} MP/s wall ({dt:.2f}s, {nb} B out); "
+          f"link-adjusted {w * h / 1e6 / adj:.0f} MP/s ({adj:.2f}s)",
+          flush=True)
 
 
 if __name__ == "__main__":
