@@ -1,13 +1,18 @@
 """BASELINE config 5 measured device-resident: 16K x 16K 4-component
-CMYK-as-YCCK through the bounded-memory chunked pipeline, with the input
-bands pre-staged in HBM so the tunneled host link (absent in a production
-host-TPU attachment) is excluded.  Host finishing (StreamingStuffer) and
-compressed-byte fetches ARE included — they are part of the pipeline.
+CMYK-as-YCCK through the production bounded-memory chunked pipeline
+(`entropy.chunked.iter_encode_interleaved_chunked`, lookahead-1
+dispatch), with the input pre-staged in HBM and fed through the
+device-resident row-source protocol so the tunneled host link (absent
+in a production host-TPU attachment) never sees the pixels.  Host
+finishing (StreamingStuffer) and compressed-byte fetches ARE included —
+they are part of the pipeline — and timed individually so the tunnel's
+share is visible.
 
 Usage: python benchmarks/config5_device.py [--size 16384] [--chunk 64]
 """
 
 import argparse
+import os
 import sys
 import time
 
@@ -35,26 +40,20 @@ def main():
     args = p.parse_args()
 
     import jax
-    import jax.numpy as jnp
 
     from tpuenc.core.tables import default_tables
     from tpuenc.core.types import ColorType, EncoderConfig, SamplingFactor
-    from tpuenc.entropy.chunked import StreamingStuffer, _build_chunk_fn
-    from tpuenc.entropy.device_encode import tables_to_device
-    from tpuenc.entropy.pallas_pack import pack_tables
+    from tpuenc.entropy import chunked as ch
+    from tpuenc.entropy import device_encode as de
 
     w = h = args.size
     ct = ColorType.CMYK_AS_YCCK
-    config = EncoderConfig(
-        quality=90, sampling_factor=SamplingFactor.F_2_2,
-        restart_interval=None,
-    )
+    config = EncoderConfig(quality=90, sampling_factor=SamplingFactor.F_2_2)
     print(f"config5 device-resident: {w}x{h} YCCK, chunk={args.chunk} MCU rows",
           flush=True)
 
     t0 = time.perf_counter()
     cache = f"/tmp/config5_input_{w}x{h}.npy"
-    import os
     if os.path.exists(cache):
         img = np.load(cache)
     else:
@@ -63,85 +62,49 @@ def main():
     print(f"  input ready ({img.nbytes >> 20} MiB) in "
           f"{time.perf_counter() - t0:.1f}s", flush=True)
 
-    mcu_h = 16  # 8 * max_v at F_2_2
-    num_rows = -(-h // mcu_h)
-    num_cols = -(-w // 16)
-    bpm = 6  # Y 2x2 + Cb + Cr ... YCCK: Y(2x2)=4 + Cb + Cr + K(2x2)=4 -> 10
-    from tpuenc.core.types import init_components, max_sampling
-    comps = init_components(ct.jpeg_color_type, config.sampling_factor)
-    bpm = sum(c.vertical_sampling_factor * c.horizontal_sampling_factor
-              for c in comps)
-    total_blocks = num_rows * num_cols * bpm
-
-    # Pre-stage padded bands on device.
-    chunk = min(args.chunk, num_rows)
-    n_full = num_rows // chunk
-    rem = num_rows - n_full * chunk
-    bands = []
     t0 = time.perf_counter()
-    for ci in range(n_full + (1 if rem else 0)):
-        nrows = chunk if ci < n_full else rem
-        y0 = ci * chunk * mcu_h
-        slab = img[y0:y0 + nrows * mcu_h]
-        if slab.shape[0] < nrows * mcu_h:
-            slab = np.pad(slab, [(0, nrows * mcu_h - slab.shape[0]), (0, 0), (0, 0)],
-                          mode="edge")
-        bands.append(jax.device_put(slab))
-    jax.block_until_ready(bands[-1])
-    print(f"  staged {len(bands)} bands to HBM in {time.perf_counter()-t0:.1f}s",
-          flush=True)
+    dimg = jax.device_put(img)
+    # Force the WHOLE transfer before timing: a device-side reduction
+    # consumes every input byte, and fetching its scalar result proves
+    # completion (block_until_ready and tiny-slice fetches both return
+    # while the tunnel is still streaming the bulk).
+    import jax.numpy as jnp
+
+    np.asarray(jnp.sum(dimg, dtype=jnp.uint32))
+    print(f"  staged to HBM in {time.perf_counter() - t0:.1f}s", flush=True)
 
     huffman = [list(pr) for pr in default_tables()]
-    tabs = tables_to_device(huffman)
-    dc_packed, ac_packed = pack_tables(tabs)
 
-    from tpuenc.entropy.device_encode import BUDGET_LADDER
+    # Instrument the two host-side stages without duplicating the loop.
+    timers = {"fetch": 0.0, "stuff": 0.0}
+    real_fetch = de.fetch_bytes
+    real_add = ch.StreamingStuffer.add_chunk
 
-    def run(measure=False):
-        budgets = list(BUDGET_LADDER)
-        stuffer = None
-        prev_tail = None
-        go = 0
-        out_bytes = 0
-        run.stuff_s = 0.0
-        run.fetch_s = 0.0
-        for ci, band in enumerate(bands):
-            nrows = chunk if ci < n_full else rem
-            while True:
-                fn, spec, pat, _ = _build_chunk_fn(
-                    w, nrows, ct, config, budgets[0]
-                )
-                if prev_tail is None:
-                    prev_tail = jnp.zeros((pat,), jnp.int32)
-                if stuffer is None:
-                    seg = (spec.seg_blocks if spec.seg_blocks > 0
-                           else total_blocks)
-                    stuffer = StreamingStuffer(seg, total_blocks)
-                stream, meta, lens, last_tail = fn(
-                    band, prev_tail, jnp.asarray(go, jnp.int32),
-                    dc_packed, ac_packed,
-                )
-                meta_np = np.asarray(meta)
-                if not meta_np[0]:
-                    break
-                assert len(budgets) > 1, "overflow at max budget"
-                budgets.pop(0)
-            nblocks = nrows * num_cols * bpm
-            from tpuenc.entropy.device_encode import fetch_bytes
+    def timed_fetch(buf, total):
+        t = time.perf_counter()
+        r = real_fetch(buf, total)
+        timers["fetch"] += time.perf_counter() - t
+        return r
 
-            used_words = (int(meta_np[1]) + 31) >> 5
-            t_f = time.perf_counter()
-            words_np = fetch_bytes(stream, used_words)
-            lens_np = np.asarray(lens)[:nblocks].astype(np.int64)
-            run.fetch_s += time.perf_counter() - t_f
-            t_s = time.perf_counter()
-            piece = stuffer.add_chunk(words_np, int(meta_np[1]), lens_np)
-            run.stuff_s += time.perf_counter() - t_s
-            out_bytes += len(piece)
-            prev_tail = last_tail
-            go += nblocks
-        out_bytes += len(stuffer.finish())
-        return out_bytes
+    def timed_add(self, words, nbits, lens):
+        t = time.perf_counter()
+        r = real_add(self, words, nbits, lens)
+        timers["stuff"] += time.perf_counter() - t
+        return r
+
+    ch.fetch_bytes = timed_fetch
+    de.fetch_bytes = timed_fetch
+    ch.StreamingStuffer.add_chunk = timed_add
+
+    def run():
+        timers["fetch"] = timers["stuff"] = 0.0
+        out = 0
+        for piece in ch.iter_encode_interleaved_chunked(
+            lambda y0, n: dimg[y0:y0 + n], w, h, ct, config, huffman,
+            chunk_mcu_rows=args.chunk,
+        ):
+            out += len(piece)
+        return out
 
     t0 = time.perf_counter()
     nb = run()
@@ -153,23 +116,16 @@ def main():
     dt = time.perf_counter() - t0
 
     # On this rig device->host goes through a tunneled link (~20-50 MB/s);
-    # a production host-attached TPU fetches at PCIe rates.  Measure the
-    # link and report both the raw wall number and the link-adjusted
-    # engine rate (fetched bytes re-costed at 10 GB/s).
-    probe = jnp.zeros((32 << 20) // 4, jnp.uint32) + 1
-    probe = jax.device_put(np.zeros((32 << 20) // 4, np.uint32))
-    np.asarray(probe[:8])
-    t1 = time.perf_counter()
-    np.asarray(probe)
-    link_mbs = 32 / (time.perf_counter() - t1)
-    # bytes fetched per run: packed words (~nb of payload), int16 lens.
+    # a production host-attached TPU fetches at PCIe rates.  Re-cost the
+    # measured fetch seconds at 10 GB/s for the link-adjusted engine rate.
+    comps = 10  # YCCK F_2_2 blocks per MCU
+    total_blocks = (h // 16) * (w // 16) * comps
     fetched = nb + 2 * total_blocks
-    link_s = fetched / (link_mbs * 1e6)
-    adj = dt - link_s + fetched / 10e9
-    print(f"  link {link_mbs:.0f} MB/s; fetched {fetched / 1e6:.0f} MB "
-          f"-> {link_s:.1f}s of tunnel time", flush=True)
-    print(f"  fetch calls {run.fetch_s:.2f}s, host stuffer {run.stuff_s:.2f}s "
-          f"(of {dt:.2f}s wall)", flush=True)
+    adj = dt - timers["fetch"] + fetched / 10e9
+    print(f"  fetch calls {timers['fetch']:.2f}s "
+          f"({fetched / 1e6:.0f} MB over the tunnel), "
+          f"host stuffer {timers['stuff']:.2f}s (of {dt:.2f}s wall)",
+          flush=True)
     print(f"config5 {w}x{h} YCCK chunked device-resident: "
           f"{w * h / 1e6 / dt:.1f} MP/s wall ({dt:.2f}s, {nb} B out); "
           f"link-adjusted {w * h / 1e6 / adj:.0f} MP/s ({adj:.2f}s)",

@@ -278,3 +278,31 @@ def test_encode_stream_row_source_object_and_multiscan(monkeypatch):
     enc4 = Encoder(80)
     got3 = b"".join(enc4.encode_stream(ByteSource(), w, h, ColorType.RGB))
     assert got3 == want3
+
+
+def test_device_resident_row_source():
+    """A row source returning jax arrays (pixels already in HBM) must
+    produce bytes identical to the host-array path — no host round trip
+    for the input (chunked.fetch_rows jax.Array branch)."""
+    import jax
+
+    from tpuenc.api import Encoder
+    from tpuenc.core.types import ColorType
+
+    rng = np.random.default_rng(5)
+    w, h = 96, 88  # non-multiple of 16: exercises device-side edge pad
+    img = rng.integers(0, 256, (h, w, 3), np.uint8)
+    dimg = jax.device_put(img)
+
+    enc = Encoder(88)
+    enc.set_restart_interval(2)
+    ref = b"".join(enc.encode_stream(img, w, h, ColorType.RGB,
+                                     chunk_mcu_rows=3))
+
+    enc2 = Encoder(88)
+    enc2.set_restart_interval(2)
+    dev = b"".join(enc2.encode_stream(
+        lambda y0, n: dimg[y0:y0 + n], w, h, ColorType.RGB,
+        chunk_mcu_rows=3,
+    ))
+    assert dev == ref

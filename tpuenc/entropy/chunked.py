@@ -403,9 +403,21 @@ def iter_encode_interleaved_chunked(
     # memory then stays O(chunk) even for 16K-class images.
     bpp = color_type.bytes_per_pixel
 
-    def fetch_rows(y0: int, n: int) -> np.ndarray:
+    def fetch_rows(y0: int, n: int):
         if callable(pixels):
             slab = pixels(y0, n)
+            if isinstance(slab, jax.Array):
+                # Device-resident row source (pixels already in HBM,
+                # e.g. produced by another TPU program): no host round
+                # trip; shape-validated, padded on device below.
+                if slab.shape[0] < n or slab.shape[1] < width:
+                    from ..core import errors
+
+                    raise errors.BadImageData(
+                        slab.shape[0] * slab.shape[1] * bpp,
+                        n * width * bpp,
+                    )
+                return slab[:n, :width]
             flat = np.frombuffer(slab, np.uint8) if isinstance(
                 slab, (bytes, bytearray, memoryview)
             ) else np.asarray(slab, np.uint8).reshape(-1)
@@ -417,54 +429,88 @@ def iter_encode_interleaved_chunked(
             return slab[..., 0] if bpp == 1 else slab
         return pixels[y0 : y0 + n]
 
-    def chunk_pixels(row0: int, nrows: int) -> np.ndarray:
+    def chunk_pixels(row0: int, nrows: int):
         y0 = row0 * mcu_h
         y1 = min((row0 + nrows) * mcu_h, height)
         slab = fetch_rows(y0, y1 - y0)
         pad_y = (row0 + nrows) * mcu_h - y0 - slab.shape[0]
         pad = [(0, pad_y), (0, pad_w - width)] + [(0, 0)] * (slab.ndim - 2)
+        if isinstance(slab, jax.Array):
+            if pad_y == 0 and pad_w == width:
+                return slab
+            return jnp.pad(slab, pad, mode="edge")
         return np.pad(slab, pad, mode="edge")
+
+    # Lookahead-1 pipeline: chunk ci+1 is DISPATCHED (async) before chunk
+    # ci's metadata is fetched, so the per-chunk host sync round trip and
+    # the host stuffing of chunk ci overlap the device compute of ci+1.
+    # This is sound because the DC-boundary tail fed to chunk ci+1 is
+    # derived from the *input* DC coefficients (dc_diffs_from_dc), not
+    # from the packed output — a budget escalation of chunk ci re-packs
+    # the same bits and never changes ci+1's inputs.  The device input
+    # slab stays alive inside the pending entry, so escalation re-packs
+    # without re-reading the (possibly single-pass) row source.
+    from .device_encode import fetch_bytes
 
     budgets = list(BUDGET_LADDER)
     stuffer = None
+    n_chunks = n_full + (1 if rem_rows else 0)
     prev_tail = None
     go = 0
-    for ci in range(n_full + (1 if rem_rows else 0)):
+    pending = None  # (ci, dpx, outputs, nrows, prev_tail_in, go_in)
+
+    def dispatch(ci, prev_tail_in, go_in, dpx=None):
         nrows = chunk_mcu_rows if ci < n_full else rem_rows
+        fn, spec, pat, _ = _build_chunk_fn(
+            width, nrows, color_type, config, budgets[0]
+        )
+        if prev_tail_in is None:
+            prev_tail_in = jnp.zeros((pat,), jnp.int32)
+        if dpx is None:
+            dpx = jax.device_put(chunk_pixels(ci * chunk_mcu_rows, nrows))
+        outs = fn(
+            dpx, prev_tail_in, jnp.asarray(go_in, jnp.int32),
+            dc_packed, ac_packed,
+        )
+        return (ci, dpx, outs, nrows, prev_tail_in, go_in), spec
+
+    def resolve(entry):
+        ci, dpx, outs, nrows, prev_tail_in, go_in = entry
         while True:
-            fn, spec, pat, _ = _build_chunk_fn(
-                width, nrows, color_type, config, budgets[0]
-            )
-            if prev_tail is None:
-                prev_tail = jnp.zeros((pat,), jnp.int32)
-            if stuffer is None:
-                seg = spec.seg_blocks if spec.seg_blocks > 0 else total_blocks
-                stuffer = StreamingStuffer(seg, total_blocks)
-            px = chunk_pixels(ci * chunk_mcu_rows, nrows)
-            stream, meta, lens, last_tail = fn(
-                jax.device_put(px), prev_tail,
-                jnp.asarray(go, jnp.int32), dc_packed, ac_packed,
-            )
+            stream, meta, lens, _ = outs
             meta_np = np.asarray(meta)
             if not meta_np[0]:
                 break
             if len(budgets) == 1:  # top budget is worst-case safe
                 raise RuntimeError("chunked pack overflow at max budget")
             budgets.pop(0)  # escalate THIS chunk; earlier bytes stay valid
+            entry, _ = dispatch(ci, prev_tail_in, go_in, dpx=dpx)
+            outs = entry[2]
         nblocks = nrows * num_cols * bpm
         # Fetch only the words actually packed (bits/32), not the whole
         # budget-capacity buffer — on big images the capacity is several
         # x the payload and the fetch dominates the wall time on thin
         # host links (measured 3x end-to-end on 16K x 16K).
-        from .device_encode import fetch_bytes
-
         used_words = (int(meta_np[1]) + 31) >> 5
-        piece = stuffer.add_chunk(
+        return stuffer.add_chunk(
             fetch_bytes(stream, used_words), int(meta_np[1]),
-            np.asarray(lens)[:nblocks].astype(np.int64),
+            fetch_bytes(lens, nblocks).astype(np.int64),
         )
-        prev_tail = last_tail
-        go += nblocks
+
+    for ci in range(n_chunks):
+        entry, spec = dispatch(ci, prev_tail, go)
+        if stuffer is None:
+            seg = spec.seg_blocks if spec.seg_blocks > 0 else total_blocks
+            stuffer = StreamingStuffer(seg, total_blocks)
+        prev_tail = entry[2][3]  # device handle; no sync
+        go += entry[3] * num_cols * bpm
+        if pending is not None:
+            piece = resolve(pending)
+            if piece:
+                yield piece
+        pending = entry
+    if pending is not None:
+        piece = resolve(pending)
         if piece:
             yield piece
     tail = stuffer.finish() if stuffer is not None else b""
