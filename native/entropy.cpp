@@ -714,3 +714,17 @@ extern "C" int32_t tpuenc_build_k2(const int64_t* freq_in,
             if (codesize[s] == size) values_out[n++] = (uint8_t)s;
     return n;
 }
+
+// Stuff a whole-byte run of the raw bitstream (no tail padding, no RST):
+// the StreamingStuffer's mid-segment flush — extract output bytes
+// [bit_off, bit_off + 8*nbytes), 0xFF-stuff, write to out.  Chunked +
+// threaded via realign_single_parallel (n a multiple of 8 bits never
+// pads).  Returns bytes written or -1 on overflow.
+extern "C" int64_t tpuenc_stuff_stream(const uint8_t* in, int64_t in_len,
+                                       int64_t bit_off, int64_t nbytes,
+                                       int num_threads, uint8_t* out,
+                                       int64_t out_cap) {
+    if (nbytes <= 0) return 0;
+    return realign_single_parallel(in, in_len, bit_off, nbytes * 8,
+                                   num_threads, out, out_cap);
+}

@@ -155,13 +155,25 @@ class StreamingStuffer:
             pos += take
             if take == room:
                 self._finish_segment(out)
-        # Mid-segment: flush any whole bytes that are already final.
+        # Mid-segment: flush any whole bytes that are already final.  The
+        # bulk path goes through the native chunk-parallel stuffer
+        # (tpuenc_stuff_stream, ~1 GB/s on 4 cores) — measured as the
+        # chunked pipeline's host cap at 111 MB/s through the numpy
+        # extract + bytes.replace fallback below.
         avail = (self.seg_bits - 8 * self.seg_flushed) >> 3
         if avail > 0:
-            raw = _extract_bytes(
-                self.acc.buf, self.read_bit - self.base_bit, avail
-            )
-            out += raw.replace(b"\xff", b"\xff\x00")
+            stuffed = None
+            if avail >= (1 << 16):
+                from . import native
+
+                stuffed = native.stuff_stream(
+                    self.acc.buf, self.read_bit - self.base_bit, avail
+                )
+            if stuffed is None:
+                stuffed = _extract_bytes(
+                    self.acc.buf, self.read_bit - self.base_bit, avail
+                ).replace(b"\xff", b"\xff\x00")
+            out += stuffed
             self.read_bit += 8 * avail
             self.seg_flushed += avail
         self._compact()

@@ -100,6 +100,16 @@ def _load():
             ctypes.c_void_p,   # out buffer
             ctypes.c_longlong, # out capacity
         ]
+        lib.tpuenc_stuff_stream.restype = ctypes.c_longlong
+        lib.tpuenc_stuff_stream.argtypes = [
+            ctypes.c_void_p,   # in bytes
+            ctypes.c_longlong, # in_len
+            ctypes.c_longlong, # bit offset
+            ctypes.c_longlong, # whole output bytes
+            ctypes.c_int,      # num_threads
+            ctypes.c_void_p,   # out
+            ctypes.c_longlong, # out capacity
+        ]
         lib.tpuenc_build_k2.restype = ctypes.c_int32
         lib.tpuenc_build_k2.argtypes = [
             ctypes.c_void_p,   # freq int64 (257,)
@@ -286,3 +296,29 @@ def build_k2(freq: np.ndarray):
     if n < 0:
         return None
     return lengths.tolist(), values[:n].tolist()
+
+
+def stuff_stream(data, bit_off: int, nbytes: int,
+                 num_threads: int = 0) -> Optional[bytes]:
+    """Extract output bytes [bit_off, bit_off + 8*nbytes) of a raw
+    bitstream and 0xFF-stuff them (no padding, no markers) — the
+    StreamingStuffer's bulk mid-segment flush, chunk-parallel in native
+    code.  Returns None when the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    buf = np.frombuffer(memoryview(data), dtype=np.uint8)
+    cap = 2 * nbytes + 16
+    out = np.empty(cap, dtype=np.uint8)
+    n = lib.tpuenc_stuff_stream(
+        buf.ctypes.data_as(ctypes.c_void_p),
+        len(buf),
+        bit_off,
+        nbytes,
+        num_threads or (os.cpu_count() or 1),
+        out.ctypes.data_as(ctypes.c_void_p),
+        cap,
+    )
+    if n < 0:
+        return None
+    return out[:n].tobytes()
