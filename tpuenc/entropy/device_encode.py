@@ -168,38 +168,56 @@ def _pack_scans_v2(comp_streams, scan_plan, dc_packed, ac_packed, budget,
     host (``native.realign_segments``).  meta = [overflow, scan_bits...,
     seg_bits...] with seg_bits UNPADDED bit counts.
     """
-    from .pallas_pack import device_scan_pack
+    from .pallas_pack import (
+        _dc_only_pack_blocks,
+        merge_pack_stream,
+        scan_pack_blocks,
+    )
 
-    bufs = []
+    # Phase 1 per scan (per-block bitstrings), then ONE shared P2-P4
+    # merge over the concatenated block axis: the raw stream is the bit
+    # concatenation of the scans in plan order, and the host slices each
+    # scan out at its bit offset (realign_segments bit_offset).  The
+    # per-program launch floor (~0.2-0.5 ms) used to be paid 3+3(n-1)
+    # times for progressive plans; now once.
+    w_list = []
+    l_list = []
     scan_bits = []
     seg_bits_all = []
     overflow = jnp.asarray(False)
     for stream_idx, spec, _ in scan_plan:
         blocks = comp_streams[stream_idx]
-        stream, bits, lens, ovf = device_scan_pack(
-            blocks, spec, dc_packed, ac_packed, budget, interpret=interpret,
-            cm=cm,
-        )
         B = blocks.shape[1] if cm else blocks.shape[0]
+        if spec.emit_dc and not spec.emit_ac:
+            words, lens, ovf = _dc_only_pack_blocks(
+                blocks, spec, dc_packed, 256, cm=cm
+            )
+        else:
+            words, lens, ovf = scan_pack_blocks(
+                blocks, spec, dc_packed, ac_packed, budget,
+                interpret=interpret, cm=cm,
+            )
         seg = spec.seg_blocks if spec.seg_blocks > 0 else B
         n_seg = -(-B // seg)
         lens_real = lens[:B]
         padded = jnp.pad(lens_real, (0, n_seg * seg - B))
         seg_bits_all.append(padded.reshape(n_seg, seg).sum(axis=1))
-        bufs.append(stream)
-        scan_bits.append(bits)
+        scan_bits.append(jnp.sum(lens, dtype=jnp.int32))
+        w_list.append(words)
+        l_list.append(lens)
         overflow = overflow | ovf
 
-    total_cap = sum(b.shape[0] for b in bufs)
-    out = jnp.zeros((total_cap,), dtype=jnp.uint32)
-    offset = jnp.zeros((), dtype=jnp.int32)
-    for b, bits in zip(bufs, scan_bits):
-        out = jax.lax.dynamic_update_slice(out, b, (offset,))
-        offset = offset + ((bits + 31) >> 5)
+    capB = max(w.shape[1] for w in w_list)
+    W = jnp.concatenate(
+        [jnp.pad(w, ((0, 0), (0, capB - w.shape[1]))) for w in w_list],
+        axis=0,
+    )
+    L = jnp.concatenate(l_list)
+    out, _, ovf2 = merge_pack_stream(W, L, budget, interpret=interpret)
 
     meta = jnp.concatenate(
         [
-            overflow.astype(jnp.int32)[None],
+            (overflow | ovf2).astype(jnp.int32)[None],
             jnp.stack(scan_bits),
             jnp.concatenate(seg_bits_all),
         ]
@@ -224,26 +242,32 @@ def _pack_tables_jnp(dc_sizes, dc_codes, ac_sizes, ac_codes):
 
 
 def _finish_scans_v2(buf_words, meta_np, scan_plan, seg_structure):
-    """Host finishing for the v2 packer: per scan, slice the word buffer,
-    big-endian-serialize, then realign/pad/stuff each restart segment."""
+    """Host finishing for the v2 packer: the buffer holds ONE raw bit
+    concatenation of all scans in plan order (shared P2-P4 merge); each
+    scan is realigned/padded/stuffed straight from its bit offset."""
+    import sys
+
     n_scans = len(scan_plan)
     scan_bits = meta_np[1 : 1 + n_scans]
     seg_bits = meta_np[1 + n_scans :]
+    total_words = (int(scan_bits.sum()) + 31) >> 5
+    w = np.ascontiguousarray(buf_words[:total_words], dtype=np.uint32)
+    data = (w.byteswap() if sys.byteorder == "little" else w).tobytes()
     scans = []
-    woff = 0
+    bit_off = 0
     seg_off = 0
     for i in range(n_scans):
         bits = int(scan_bits[i])
-        nwords = (bits + 31) >> 5
         nseg = seg_structure[i]
         segs = seg_bits[seg_off : seg_off + nseg].astype(np.int64)
         seg_off += nseg
-        data = buf_words[woff : woff + nwords].astype(">u4").tobytes()
-        woff += nwords
-        stuffed = native.realign_segments(data, segs)
+        stuffed = native.realign_segments(data, segs, bit_offset=bit_off)
         if stuffed is None:
-            stuffed = native.realign_segments_py(data, segs.tolist())
+            stuffed = native.realign_segments_py(
+                data, segs.tolist(), bit_offset=bit_off
+            )
         scans.append(stuffed)
+        bit_off += bits
     return scans
 
 
@@ -733,7 +757,7 @@ def device_encode_batch(
             retry.append(i)
             continue
         if version == "v2":
-            total = int(np.sum((meta_np[1 : 1 + n_scans] + 31) >> 5))
+            total = int(np.sum(meta_np[1 : 1 + n_scans]) + 31) >> 5
             buf_np = resolve_fetch(specs[i], buf, total, key)
             out.append(
                 _finish_scans_v2(buf_np, meta_np, scan_plan, seg_structure)
@@ -799,7 +823,7 @@ def device_encode_scans(
         _memo_put(key, budget)
         n_scans = len(scan_plan)
         if version == "v2":
-            total_words = int(np.sum((meta_np[1 : 1 + n_scans] + 31) >> 5))
+            total_words = int(np.sum(meta_np[1 : 1 + n_scans]) + 31) >> 5
             buf_np = resolve_fetch(spec, buf, total_words, key)
             return _finish_scans_v2(buf_np, meta_np, scan_plan, seg_structure)
         total_bytes = int(np.sum(meta_np[1 : 1 + n_scans]) >> 3)

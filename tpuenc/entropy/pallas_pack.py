@@ -983,6 +983,43 @@ def _build_concat_rows_fn(R: int, W: int, capW: int, interpret: bool):
     )
 
 
+def _dc_only_pack_blocks(blocks, spec: ScanSpec, dc_packed, tile: int,
+                         dcdiff=None, cm: bool = False):
+    """P1 fast path for DC-only scans (progressive DC passes,
+    ``encoder.rs`` first scans): one item per block, <= 27 bits, so the
+    64-slot Mosaic kernel and its in-block merge tree are pure overhead
+    — the per-block (word, len) pair is a handful of fused XLA ops over
+    the precomputed DC differentials (measured 0.43 -> ~0.03 ms for the
+    56k-block luma DC scan).  Byte-identical to the kernel path
+    (tests/test_pack_v2.py progressive cases, golden fixtures)."""
+    B = blocks.shape[1] if cm else blocks.shape[0]
+    Bp = -(-B // tile) * tile
+    if dcdiff is None:
+        dc_row = (blocks[0] if cm else blocks[:, 0]).astype(jnp.int32)
+        dcdiff = dc_diffs_from_dc(dc_row, spec)
+    diff = dcdiff.astype(jnp.int32).reshape(-1)[:B]
+    size = _bit_length(jnp.abs(diff))
+    pat = spec.dc_tab_pattern
+    if len(set(pat)) == 1:
+        idx = size + 16 * int(pat[0])
+    else:
+        pos = jnp.arange(B, dtype=jnp.int32) % len(pat)
+        tabv = jnp.full((B,), int(pat[0]), jnp.int32)
+        for p in range(1, len(pat)):
+            tabv = jnp.where(pos == p, int(pat[p]), tabv)
+        idx = size + 16 * tabv
+    lut = dc_packed[0, idx].astype(U32)
+    hs = (lut >> 16).astype(jnp.int32)
+    hc = lut & 0xFFFF
+    extra = (diff - (diff < 0).astype(jnp.int32)).astype(U32) & _mask(size)
+    blen = hs + size  # <= 16 + 11: always a single MSB-placed word
+    word = _shl(_shl(hc, size) | extra, 32 - blen)
+    if Bp != B:
+        word = jnp.pad(word, (0, Bp - B))
+        blen = jnp.pad(blen, (0, Bp - B))
+    return word[:, None], blen, jnp.asarray(False)
+
+
 def device_scan_pack(
     blocks,
     spec: ScanSpec,
@@ -1013,15 +1050,44 @@ def device_scan_pack(
     striped path whose last stripe carries padding MCU rows).
     """
     B = blocks.shape[1] if cm else blocks.shape[0]
-    words, lens, ovf1 = scan_pack_blocks(
-        blocks, spec, dc_packed, ac_packed, budget,
-        tile=tile, interpret=interpret, dcdiff=dcdiff, cm=cm,
-    )
-    Bp, capB = words.shape
+    if spec.emit_dc and not spec.emit_ac:
+        words, lens, ovf1 = _dc_only_pack_blocks(
+            blocks, spec, dc_packed, tile, dcdiff=dcdiff, cm=cm
+        )
+    else:
+        words, lens, ovf1 = scan_pack_blocks(
+            blocks, spec, dc_packed, ac_packed, budget,
+            tile=tile, interpret=interpret, dcdiff=dcdiff, cm=cm,
+        )
     if valid_blocks is not None:
+        Bp = words.shape[0]
         valid = jnp.arange(Bp, dtype=jnp.int32) < valid_blocks
         lens = jnp.where(valid, lens, 0)
         words = jnp.where(valid[:, None], words, jnp.uint32(0))
+    stream, total_bits, ovf2 = merge_pack_stream(
+        words, lens, budget, n_sub=n_sub, chunk=chunk, interpret=interpret
+    )
+    return stream, total_bits, lens, ovf1 | ovf2
+
+
+def merge_pack_stream(
+    words,
+    lens,
+    budget: int,
+    *,
+    n_sub: int = 128,
+    chunk: int = 256,
+    interpret: bool = False,
+):
+    """P2-P4: per-block MSB-aligned bitstrings (Bp, capB) + (Bp,) lens ->
+    one raw bit-concatenated stream.  Shared by single-scan packs
+    (:func:`device_scan_pack`) and the multi-scan fused plan
+    (``device_encode._pack_scans_v2``), which concatenates every scan's
+    phase-1 output and pays these three kernel launches ONCE instead of
+    once per scan — the per-program floor (~0.2-0.5 ms) dominated the
+    12-scan progressive pack.  Returns (stream_words, total_bits, ovf).
+    """
+    Bp, capB = words.shape
 
     n1 = -(-Bp // n_sub)
     # Small scans: shrink the chunk so the stream isn't padded to
@@ -1097,7 +1163,7 @@ def device_scan_pack(
     p4 = _build_concat_rows_fn(R, cap_out, capW, interpret)
     stream2d = p4(pos, row_bits.astype(jnp.int32), rows)
     total_bits = pos[-1] + row_bits[-1]
-    return stream2d[0], total_bits, lens, ovf1 | ovf2
+    return stream2d[0], total_bits, ovf2
 
 
 def merge_blocks_to_stream(words, lens, budget: int, capW: int | None = None):
