@@ -184,7 +184,7 @@ def bench_stages(setup, img, w, h):
 
     # Entropy pack alone on the real coefficient stream.
     streams = tuple(jnp.asarray(s) for s in jax.jit(inner)(dimg))
-    if cm:
+    if cm and len(plan) == 1:
         from tpuenc.entropy.pallas_pack import device_scan_pack, pack_tables
 
         huffman = [list(p) for p in default_tables()]
