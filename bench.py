@@ -106,6 +106,22 @@ def _amortized_ms(fn_call, reps=3, k=8):
     return max(est * 1e3, 1e-6)
 
 
+def _amortized_ms_robust(fn_call, outer=5, agree=0.03, reps=3, k=8):
+    """Headline-grade slope timing: repeat the whole :func:`_amortized_ms`
+    estimate up to ``outer`` times and return the best, stopping early when
+    the two fastest estimates agree within ``agree`` — a single noisy
+    capture on the ~26 ms-RTT tunnel can no longer set the record
+    (round-3 capture landed 6% below the engine's real speed)."""
+    ests = []
+    for _ in range(outer):
+        ests.append(_amortized_ms(fn_call, reps=reps, k=k))
+        if len(ests) >= 2:
+            a, b = sorted(ests)[:2]
+            if b - a <= agree * a:
+                break
+    return min(ests)
+
+
 def bench_device_resident(setup, img, w, h, reps=3):
     """Device-resident pixels -> packed scan bytes on device; measures the
     engine's own throughput without the host link."""
@@ -126,17 +142,23 @@ def bench_device_resident(setup, img, w, h, reps=3):
     huffman = [list(p) for p in default_tables()]
     tabs = de.tables_to_device(huffman)
     version = de.pack_version()
-    fn, plan, segst = de._build_fused_fn(
-        w, h, ColorType.RGB, config, 16, version
-    )
     dimg = jax.device_put(img)
-    buf, meta = fn(dimg, *tabs)
-    assert int(np.asarray(meta)[0]) == 0, "budget overflow in bench"
-    ms = _amortized_ms(lambda: fn(dimg, *tabs))
-    return w * h / 1e6 / (ms / 1e3), version
+    # Budget selection mirrors production: start at the ladder bottom,
+    # escalate on overflow (the aggregate caps are statistical).
+    for budget in de.BUDGET_LADDER:
+        fn, plan, segst = de._build_fused_fn(
+            w, h, ColorType.RGB, config, budget, version
+        )
+        buf, meta = fn(dimg, *tabs)
+        if int(np.asarray(meta)[0]) == 0:
+            break
+    else:
+        raise AssertionError("budget overflow in bench at max budget")
+    ms = _amortized_ms_robust(lambda: fn(dimg, *tabs))
+    return w * h / 1e6 / (ms / 1e3), version, budget
 
 
-def bench_stages(setup, img, w, h):
+def bench_stages(setup, img, w, h, budget=None):
     """Per-stage device timing table: coefficient pipeline, entropy pack,
     and the fdct/color micro-benches mirroring the reference's
     criterion/benches/fdct.rs and ycbcr.rs."""
@@ -153,6 +175,8 @@ def bench_stages(setup, img, w, h):
     config = EncoderConfig(
         quality=setup["quality"], sampling_factor=SamplingFactor.F_1_1
     )
+    if budget is None:
+        budget = de.BUDGET_LADDER[0]
     rows = []
 
     coeff_fn, layout = coefficients_fn(w, h, ColorType.RGB, config)
@@ -184,20 +208,21 @@ def bench_stages(setup, img, w, h):
 
     # Entropy pack alone on the real coefficient stream.
     streams = tuple(jnp.asarray(s) for s in jax.jit(inner)(dimg))
-    if cm and len(plan) == 1:
+    if cm:  # cm already implies len(plan) == 1 (see its definition above)
         from tpuenc.entropy.pallas_pack import device_scan_pack, pack_tables
 
         huffman = [list(p) for p in default_tables()]
         dc_p, ac_p = pack_tables(de.tables_to_arrays(huffman))
         ((_, spec, _),) = plan
         pk = jax.jit(
-            lambda s: device_scan_pack(s, spec, dc_p, ac_p, 16, cm=True)[:2]
+            lambda s: device_scan_pack(s, spec, dc_p, ac_p, budget,
+                                       cm=True)[:2]
         )
         pk(streams[0])
         ms = _amortized_ms(lambda: pk(streams[0]))
     else:
         pfn, plan, segst = de._build_pack_only_fn(
-            w, h, ColorType.RGB, config, 16, version
+            w, h, ColorType.RGB, config, budget, version
         )
         huffman = [list(p) for p in default_tables()]
         tabs = de.tables_to_device(huffman)
@@ -263,6 +288,11 @@ def main():
         help="capture a jax.profiler trace of the warm fused encode "
         "program into DIR (open with tensorboard/xprof)",
     )
+    parser.add_argument(
+        "--no-e2e", action="store_true",
+        help="skip the link-bound batched e2e headline (device-resident "
+        "numbers only; faster iteration on tunneled rigs)",
+    )
     args = parser.parse_args()
 
     from tpuenc import ColorType, SamplingFactor
@@ -272,21 +302,26 @@ def main():
     imgs = [make_rgb(w, h, seed=100 + i) for i in range(args.batch)]
 
     q90 = {"quality": 90}
-    headline, _ = bench_batch(q90, imgs, w, h, ColorType.RGB)
-    print(f"batched e2e q90 4:4:4            {headline:9.1f} MP/s", file=sys.stderr)
+    headline = 0.0
+    if not args.no_e2e:
+        headline, _ = bench_batch(q90, imgs, w, h, ColorType.RGB)
+        print(
+            f"batched e2e q90 4:4:4            {headline:9.1f} MP/s",
+            file=sys.stderr,
+        )
 
     if args.profile:
         profile_trace(q90, img, w, h, args.profile)
 
     dev_mps = None
     try:
-        dev_mps, version = bench_device_resident(q90, img, w, h)
+        dev_mps, version, budget = bench_device_resident(q90, img, w, h)
         print(
             f"device-resident compute q90      {dev_mps:9.1f} MP/s"
-            f"  (pack={version})",
+            f"  (pack={version}, budget={budget})",
             file=sys.stderr,
         )
-        for name, ms in bench_stages(q90, img, w, h):
+        for name, ms in bench_stages(q90, img, w, h, budget=budget):
             print(f"  {name:34s} {ms:8.2f} ms", file=sys.stderr)
     except Exception as e:
         print(f"device-resident bench failed: {e}", file=sys.stderr)

@@ -81,3 +81,68 @@ def rest(words, lens):
 
 
 t("P2 (transpose + chunk merge)", rest, words, lens)
+
+
+# P3 (fold rearrangement + kernel) and P4 (concat) split, mirroring
+# merge_pack_stream's internals on the real P1 output.
+def p3_p4(words, lens):
+    Bp, capB = words.shape
+    n_sub, chunk = 128, 256
+    n1 = -(-Bp // n_sub)
+    n1p = -(-n1 // chunk) * chunk
+    total = n_sub * n1p
+    if total != Bp:
+        words = jnp.pad(words, ((0, total - Bp), (0, 0)))
+        lens = jnp.pad(lens, (0, total - Bp))
+    X = jnp.transpose(words.reshape(n_sub, n1p, capB), (1, 2, 0))
+    L = jnp.transpose(lens.reshape(n_sub, n1p, 1), (1, 2, 0))
+    n2 = n1p // chunk
+    caps = pp.chunk_caps(capB, chunk, budget)
+    cap_out = caps[-1]
+    p2 = pp._build_merge_chunks_fn(n1p, n2, capB, cap_out, n_sub, budget, False)
+    out_w, out_l = p2(L, X)
+
+    n2p = 1 << (n2 - 1).bit_length()
+    capP = -(-cap_out // 128) * 128
+    budget_eff = budget * chunk
+    plan3 = pp.fold_plan(n2p, capP, n_sub, budget_eff)
+    s_tile, caps_f = plan3
+    capF = caps_f[-1]
+    G = n_sub // s_tile
+
+    def p3_stage(out_w, out_l):
+        w3 = jnp.transpose(out_w, (2, 0, 1))
+        w3 = jnp.pad(w3, ((0, 0), (0, n2p - n2), (0, capP - cap_out)))
+        w3 = jnp.transpose(w3.reshape(G, s_tile, n2p, capP), (0, 2, 1, 3))
+        l3 = jnp.transpose(out_l[:, 0, :], (1, 0))
+        l3 = jnp.pad(l3, ((0, 0), (0, n2p - n2)))
+        l3 = jnp.transpose(l3.reshape(G, s_tile, n2p), (0, 2, 1))
+        p3 = pp._build_fold_rows_fn(n2p, capP, capF, n_sub, s_tile,
+                                    budget_eff, False)
+        rows, l8 = p3(l3, w3)
+        return rows.reshape(n_sub, capF), l8.reshape(n_sub, 8)
+
+    jp3 = jax.jit(p3_stage)
+    rows, l8 = jp3(out_w, out_l)
+    ms = _amortized_ms(lambda: jp3(out_w, out_l))
+    print(f"{'P3 (rearrange + fold kernel)':40s} {ms:8.3f} ms")
+
+    row_bits = l8[:, 0]
+
+    def p4_stage(rows, row_bits):
+        pos = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(row_bits)[:-1]]
+        ).astype(jnp.int32)
+        R = n_sub
+        capW = -(-(R * capF + capF + 256) // 128) * 128
+        p4 = pp._build_concat_rows_fn(R, capF, capW, False)
+        return p4(pos, row_bits.astype(jnp.int32), rows)
+
+    jp4 = jax.jit(p4_stage)
+    jp4(rows, row_bits)
+    ms = _amortized_ms(lambda: jp4(rows, row_bits))
+    print(f"{'P4 (row concat kernel)':40s} {ms:8.3f} ms")
+    print("capF:", capF, "rows:", rows.shape)
+
+
+p3_p4(words, lens)

@@ -306,3 +306,106 @@ def test_device_resident_row_source():
         chunk_mcu_rows=3,
     ))
     assert dev == ref
+
+
+# ---------------------------------------------------------------------------
+# Bounded-memory multi-pass path (sequential / progressive / optimized):
+# above DEVICE_BLOCK_LIMIT these modes stream coefficients into the HBM
+# store and pack every scan in chunks — byte-identical to the host oracle
+# (reference parity: encoder.rs:810-864, 869-975 encode any size in every
+# mode).
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "name,setup",
+    [
+        ("sequential_4x1",
+         lambda e: e.set_sampling_factor(SamplingFactor.F_4_1)),
+        ("progressive", lambda e: e.set_progressive(True)),
+        ("progressive_restart", lambda e: (
+            e.set_progressive(6), e.set_restart_interval(3))),
+        ("optimized",
+         lambda e: e.set_optimized_huffman_tables(True)),
+        ("optimized_progressive", lambda e: (
+            e.set_optimized_huffman_tables(True), e.set_progressive(True))),
+    ],
+)
+def test_multipass_chunked_product_path(name, setup, monkeypatch):
+    """encode() above DEVICE_BLOCK_LIMIT in multi-pass modes goes through
+    the chunked multipass device path, byte-identical to the host path."""
+    import tpuenc.api as api
+
+    rng = np.random.default_rng(17)
+    w, h = 70, 150  # partial trailing MCU both dims
+    img = rng.integers(0, 256, (h, w, 3), np.uint8)
+
+    monkeypatch.setenv("TPUENC_DEVICE_ENTROPY", "0")
+    enc = Encoder(85)
+    setup(enc)
+    want = enc.encode(img.tobytes(), w, h, ColorType.RGB)
+    assert enc.last_encode_path == "host"
+
+    monkeypatch.setenv("TPUENC_DEVICE_ENTROPY", "strict")
+    monkeypatch.setattr(api, "DEVICE_BLOCK_LIMIT", 10)
+    enc2 = Encoder(85)
+    setup(enc2)
+    got = enc2.encode(img.tobytes(), w, h, ColorType.RGB)
+    assert enc2.last_encode_path == "device-chunked-multipass"
+    assert got == want
+
+
+def test_multipass_chunked_small_chunks(monkeypatch):
+    """Direct per-scan payload equality with chunk boundaries forced both
+    in the coefficient phase (2 MCU rows) and the pack phase (128-block
+    pack chunks crossing restart segments mid-chunk)."""
+    from tpuenc.core.tables import default_tables
+    from tpuenc.entropy import device_encode as de
+    from tpuenc.entropy.chunked_multipass import encode_multipass_chunked
+
+    rng = np.random.default_rng(23)
+    w, h = 70, 150
+    img = rng.integers(0, 256, (h, w, 3), np.uint8)
+
+    enc = Encoder(85)
+    enc.set_progressive(4)
+    enc.set_restart_interval(5)
+    config = enc._config()
+
+    huffman = [list(p) for p in default_tables()]
+    want = de.device_encode_scans(
+        img, w, h, ColorType.RGB, config, huffman
+    )
+    assert want is not None
+
+    huffman2 = [list(p) for p in default_tables()]
+    got = encode_multipass_chunked(
+        img, w, h, ColorType.RGB, config, huffman2,
+        chunk_mcu_rows=2, pack_chunk=128,
+    )
+    assert got is not None
+    assert len(got) == len(want)
+    for i, (a, b) in enumerate(zip(got, want)):
+        assert a == b, f"scan {i} differs"
+
+
+def test_multipass_chunked_stream_and_ycck(monkeypatch):
+    """encode_stream for a big-image multi-pass config rides the chunked
+    multipass path per scan; YCCK (4-component) covered."""
+    import tpuenc.api as api
+
+    rng = np.random.default_rng(29)
+    w, h = 64, 80
+    img = rng.integers(0, 256, (h, w, 4), np.uint8)
+
+    monkeypatch.setenv("TPUENC_DEVICE_ENTROPY", "0")
+    enc = Encoder(90)
+    enc.set_optimized_huffman_tables(True)
+    want = enc.encode(img.tobytes(), w, h, ColorType.YCCK)
+
+    monkeypatch.setenv("TPUENC_DEVICE_ENTROPY", "strict")
+    monkeypatch.setattr(api, "DEVICE_BLOCK_LIMIT", 10)
+    enc2 = Encoder(90)
+    enc2.set_optimized_huffman_tables(True)
+    pieces = list(enc2.encode_stream(img.tobytes(), w, h, ColorType.YCCK))
+    assert enc2.last_encode_path == "device-chunked-multipass"
+    assert b"".join(pieces) == want

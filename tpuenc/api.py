@@ -116,6 +116,20 @@ class ImageBuffer(abc.ABC):
         """Per-component (H, W) planes of 0..255 values in JPEG colorspace
         (Luma: 1 plane; Ycbcr: 3; Cmyk/Ycck: 4, already sign-converted)."""
 
+    def color_type(self) -> Optional[ColorType]:
+        """Optional input color type of the planes.
+
+        The reference's built-in ``ImageBuffer`` impls do color conversion
+        inside ``fill_buffers`` (image_buffer.rs:86-98, 135-204), so a
+        user buffer can feed raw RGB rows.  The TPU analog: return a
+        :class:`ColorType` here (e.g. ``ColorType.RGB``) and
+        ``to_planes()`` may then return planes in THAT input colorspace
+        (one per channel, e.g. R, G, B); :meth:`Encoder.encode_image`
+        runs the same device color conversion as :meth:`Encoder.encode`.
+        The default ``None`` keeps the round-3 contract: planes are
+        already in JPEG colorspace."""
+        return None
+
 
 class Encoder:
     """The JPEG encoder (reference encoder.rs:212-435).
@@ -376,15 +390,32 @@ class Encoder:
             if config.progressive_scans is not None:
                 plan_len = ncomp + (config.progressive_scans - 1) * ncomp
             blocks = (width // 8 + 1) * (height // 8 + 1)
-            if plan_len <= 48 and blocks <= DEVICE_BLOCK_LIMIT:
+            if plan_len <= 48:
                 try:
                     from .entropy.device_encode import pack_version
 
-                    scans = self._device_scan_payloads(
-                        pixels, width, height, color_type, config, huffman
-                    )
-                    if scans is not None:
-                        self.last_encode_path = f"device-{pack_version()}"
+                    if blocks <= DEVICE_BLOCK_LIMIT:
+                        scans = self._device_scan_payloads(
+                            pixels, width, height, color_type, config,
+                            huffman,
+                        )
+                        if scans is not None:
+                            self.last_encode_path = f"device-{pack_version()}"
+                    else:
+                        # Bounded-memory multi-pass path: any size the
+                        # reference handles (encoder.rs:810-864, 869-975).
+                        from .entropy.chunked_multipass import (
+                            encode_multipass_chunked,
+                        )
+
+                        scans = encode_multipass_chunked(
+                            pixels, width, height, color_type, config,
+                            huffman,
+                        )
+                        if scans is not None:
+                            self.last_encode_path = (
+                                "device-chunked-multipass"
+                            )
                 except Exception as e:
                     if flag == "strict":
                         raise
@@ -433,6 +464,29 @@ class Encoder:
         width, height = image.width(), image.height()
         _check_dims(width, height)
         jct = image.get_jpeg_color_type()
+        ct_in = getattr(image, "color_type", lambda: None)()
+        if ct_in is not None:
+            # Converting buffer (reference image_buffer.rs:135-204): the
+            # planes are in the declared INPUT colorspace; run the normal
+            # conversion pipeline.
+            ct_in = ColorType(ct_in)
+            if ct_in.jpeg_color_type is not jct:
+                # In the reference this mismatch is unrepresentable (the
+                # trait impl fixes both); here it is a usage error.
+                raise ValueError(
+                    f"ImageBuffer.color_type() {ct_in} encodes as "
+                    f"{ct_in.jpeg_color_type}, but get_jpeg_color_type() "
+                    f"returned {jct}"
+                )
+            planes = image.to_planes()
+            stacked = np.stack(
+                [np.asarray(p, dtype=np.uint8) for p in planes], axis=-1
+            )
+            if ct_in.bytes_per_pixel == 1:
+                stacked = stacked[..., 0]
+            return self._finish(
+                self._encode_pixels(stacked, width, height, ct_in)
+            )
         planes = image.to_planes()
         # Pack planes into an interleaved array and reuse the passthrough
         # color types (planes are already in JPEG colorspace).
@@ -653,11 +707,25 @@ class Encoder:
                         [scan], width, height, color_type, config,
                         components, q_tables, huffman,
                     )
-                _log.info(
-                    "device entropy declined: %d blocks in %s mode",
-                    (width // 8 + 1) * (height // 8 + 1), config.mode(),
+                # Multi-pass modes (sequential / progressive / optimized):
+                # coefficients stream into an HBM store, then every scan
+                # packs in bounded chunks — any image size the reference
+                # handles (encoder.rs:810-864, 869-975) stays on device.
+                from .entropy.chunked_multipass import (
+                    encode_multipass_chunked,
                 )
-                return None
+
+                payloads = encode_multipass_chunked(
+                    pixels, width, height, color_type, config, huffman
+                )
+                if payloads is None:
+                    _log.info("chunked multipass path overflowed budgets")
+                    return None
+                self.last_encode_path = "device-chunked-multipass"
+                return self._assemble_scans(
+                    payloads, width, height, color_type, config,
+                    components, q_tables, huffman,
+                )
 
             scans = self._device_scan_payloads(
                 pixels, width, height, color_type, config, huffman

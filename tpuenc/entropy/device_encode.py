@@ -40,7 +40,22 @@ from .huffopt import progressive_bands
 
 # Worst-case-safe budget: a block's items can never exceed 193 words
 # (64 slots x 3 words + tail), so 224 words/block never clips.
-BUDGET_LADDER = (16, 48, 224)
+#
+# The budget plays two roles with very different typical/worst-case gaps:
+# per-BLOCK caps must hold the single busiest block (hundreds of bits),
+# while the AGGREGATE caps of the cross-block merges (P2 chunk merge, P3
+# fold, P4 concat) only need the average plus slack — q90 natural content
+# averages ~1.6 words/block against the old uniform 16, so the fold/concat
+# stages were barrel-shifting 4-10x more cap than content (attr_pack r4).
+# Block-level schedules therefore clamp the budget to >= 16
+# (``max(budget, 16)`` at the block-cap call sites) while the aggregate
+# schedules use the ladder value as-is, letting the ladder start small.
+# Measured on the 2000x1800 bench image (noise-heavy, 136.6 bits/block
+# avg): window maxima are ~4.4 words/block at every span, so 4 fits only
+# natural-photo content (~1-3 words/block) and 8 fits the bench with ~2x
+# headroom; the ladder learns the right rung per (shape, config) via
+# ``_budget_memo``.
+BUDGET_LADDER = (4, 8, 16, 48, 224)
 
 # (key) -> working budget, learned across calls.  Bounded LRU: long-running
 # services encoding many distinct shapes must not grow it without limit,
@@ -172,6 +187,7 @@ def _pack_scans_v2(comp_streams, scan_plan, dc_packed, ac_packed, budget,
         _dc_only_pack_blocks,
         merge_pack_stream,
         scan_pack_blocks,
+        scan_pack_blocks_acbands,
     )
 
     # Phase 1 per scan (per-block bitstrings), then ONE shared P2-P4
@@ -180,23 +196,61 @@ def _pack_scans_v2(comp_streams, scan_plan, dc_packed, ac_packed, budget,
     # scan out at its bit offset (realign_segments bit_offset).  The
     # per-program launch floor (~0.2-0.5 ms) used to be paid 3+3(n-1)
     # times for progressive plans; now once.
+    #
+    # Progressive AC band scans of the same component additionally share
+    # ONE multi-band phase-1 kernel (scan_pack_blocks_acbands): the tile
+    # load, last-nonzero scan and magnitude categories are computed once
+    # per component instead of once per band scan.
+    groups: dict = {}
+    for i, (stream_idx, spec, _) in enumerate(scan_plan):
+        if (
+            spec.emit_ac
+            and not spec.emit_dc
+            and len(spec.ac_tab_pattern) == 1
+        ):
+            groups.setdefault(stream_idx, []).append(i)
+    banded: dict = {}
+    overflow = jnp.asarray(False)
+    for stream_idx, idxs in groups.items():
+        if len(idxs) < 2:
+            continue
+        order = sorted(
+            idxs, key=lambda i: scan_plan[i][1].spectral_start
+        )
+        for k in range(0, len(order), 4):  # <= 4 bands per launch (VMEM)
+            batch = order[k:k + 4]
+            if len(batch) < 2:
+                outs = None  # lone tail band: regular per-scan path
+            else:
+                outs, ovf = scan_pack_blocks_acbands(
+                    comp_streams[stream_idx],
+                    [scan_plan[i][1] for i in batch],
+                    ac_packed, budget, interpret=interpret, cm=cm,
+                )
+                overflow = overflow | ovf
+                for i, out in zip(batch, outs):
+                    banded[i] = out
+
     w_list = []
     l_list = []
     scan_bits = []
     seg_bits_all = []
-    overflow = jnp.asarray(False)
-    for stream_idx, spec, _ in scan_plan:
+    for i, (stream_idx, spec, _) in enumerate(scan_plan):
         blocks = comp_streams[stream_idx]
         B = blocks.shape[1] if cm else blocks.shape[0]
-        if spec.emit_dc and not spec.emit_ac:
+        if i in banded:
+            words, lens = banded[i]
+        elif spec.emit_dc and not spec.emit_ac:
             words, lens, ovf = _dc_only_pack_blocks(
                 blocks, spec, dc_packed, 256, cm=cm
             )
+            overflow = overflow | ovf
         else:
             words, lens, ovf = scan_pack_blocks(
                 blocks, spec, dc_packed, ac_packed, budget,
                 interpret=interpret, cm=cm,
             )
+            overflow = overflow | ovf
         seg = spec.seg_blocks if spec.seg_blocks > 0 else B
         n_seg = -(-B // seg)
         lens_real = lens[:B]
@@ -205,7 +259,6 @@ def _pack_scans_v2(comp_streams, scan_plan, dc_packed, ac_packed, budget,
         scan_bits.append(jnp.sum(lens, dtype=jnp.int32))
         w_list.append(words)
         l_list.append(lens)
-        overflow = overflow | ovf
 
     capB = max(w.shape[1] for w in w_list)
     W = jnp.concatenate(
@@ -239,6 +292,43 @@ def _pack_tables_jnp(dc_sizes, dc_codes, ac_sizes, ac_codes):
     ac_packed = (ac_sizes.astype(jnp.uint32) << 16) | \
         ac_codes.astype(jnp.uint32)
     return dc_packed.astype(jnp.int32), ac_packed.astype(jnp.int32)
+
+
+def _use_device_stuff() -> bool:
+    """SURVEY §7 step-4 opt-in: realign + 0xFF stuffing + RST insertion
+    on device (``entropy.device_stuff``), making host finishing a pure
+    byte split.  Off by default: in batch mode the host finish overlaps
+    device compute for free, so burning device cycles on it only pays
+    when host cores are the bottleneck."""
+    import os
+
+    return os.environ.get("TPUENC_DEVICE_STUFF") == "1"
+
+
+def _finish_scans_v2_device(buf_words, meta_np, scan_plan, seg_structure):
+    """Device-side finishing: one stuff pass over the whole raw stream,
+    then the host just splits per-scan byte ranges.  Returns None if the
+    stuffed stream overflowed the device buffer's slack (pathological
+    0xFF density) — caller falls back to the host finish."""
+    from .device_stuff import device_stuff
+
+    n_scans = len(scan_plan)
+    seg_bits = meta_np[1 + n_scans:]
+    out, seg_out, _total = device_stuff(buf_words, seg_bits, seg_structure)
+    seg_out_np = np.asarray(seg_out)
+    total = int(seg_out_np.sum())
+    if total > int(out.shape[0]):
+        return None
+    data = fetch_bytes(out, total)
+    scans = []
+    off = 0
+    s = 0
+    for nseg in seg_structure:
+        n = int(seg_out_np[s:s + nseg].sum())
+        s += nseg
+        scans.append(data[off:off + n].tobytes())
+        off += n
+    return scans
 
 
 def _finish_scans_v2(buf_words, meta_np, scan_plan, seg_structure):
@@ -823,6 +913,12 @@ def device_encode_scans(
         _memo_put(key, budget)
         n_scans = len(scan_plan)
         if version == "v2":
+            if _use_device_stuff():
+                scans = _finish_scans_v2_device(
+                    buf, meta_np, scan_plan, seg_structure
+                )
+                if scans is not None:
+                    return scans
             total_words = int(np.sum(meta_np[1 : 1 + n_scans]) + 31) >> 5
             buf_np = resolve_fetch(spec, buf, total_words, key)
             return _finish_scans_v2(buf_np, meta_np, scan_plan, seg_structure)

@@ -402,7 +402,9 @@ def scan_pack(
     # ------------------------------------------------------------------
     # In-block tree: fold 64 slots, then append the tail item.
     # ------------------------------------------------------------------
-    caps = block_cap_schedule(budget_words)
+    # Block-level caps must hold the busiest single block even when the
+    # aggregate ladder budget is small (see device_encode.BUDGET_LADDER).
+    caps = block_cap_schedule(max(budget_words, 16))
     lens = items.len
     words = jnp.stack([items.w0, items.w1, items.w2], axis=-1)
     overflow = jnp.asarray(False)
@@ -437,7 +439,9 @@ def scan_pack(
     level_blocks = 1
     while n_pad > 1:
         level_blocks *= 2
-        cap = min(2 * cap, budget_words * level_blocks + 2)
+        cap = min(
+            2 * cap, budget_words * level_blocks + 16 * min(level_blocks, 16)
+        )
         lens, words, ovf = merge_level(
             lens[None], words[None], cap
         )
