@@ -9,7 +9,7 @@ import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
-from bench import make_rgb, _amortized_ms  # noqa: E402
+from bench import make_rgb, _amortized_ms, _amortized_ms_robust  # noqa: E402
 
 
 def bench_mode(name, config, w, h, color_type=None, reps=3):
@@ -26,20 +26,21 @@ def bench_mode(name, config, w, h, color_type=None, reps=3):
     tabs = de.tables_to_device(huffman)
     version = de.pack_version()
     t0 = time.perf_counter()
-    fn, plan, segst = de._build_fused_fn(w, h, color_type, config, 16, version)
     dimg = jax.device_put(img)
-    buf, meta = fn(dimg, *tabs)
-    compile_s = time.perf_counter() - t0
-    ovf = int(np.asarray(meta)[0])
-    if ovf:
-        fn, plan, segst = de._build_fused_fn(w, h, color_type, config, 48, version)
+    for budget in de.BUDGET_LADDER:  # production budget selection
+        fn, plan, segst = de._build_fused_fn(
+            w, h, color_type, config, budget, version
+        )
         buf, meta = fn(dimg, *tabs)
         ovf = int(np.asarray(meta)[0])
-    ms = _amortized_ms(lambda: fn(dimg, *tabs))
+        if not ovf:
+            break
+    compile_s = time.perf_counter() - t0
+    ms = _amortized_ms_robust(lambda: fn(dimg, *tabs))
     mps = w * h / 1e6 / (ms / 1e3)
     print(
         f"{name:38s} {mps:9.1f} MP/s  {ms:8.2f} ms  "
-        f"({len(plan)} scans, ovf={ovf}, compile {compile_s:.0f}s)",
+        f"({len(plan)} scans, budget={budget}, compile {compile_s:.0f}s)",
         flush=True,
     )
     return mps
@@ -62,12 +63,15 @@ def bench_optimized(name, config, w, h, reps=3):
     hists_np = [(np.asarray(d), np.asarray(a)) for d, a in hists]
     opt = [list(p) for p in tables_from_histograms(hists_np)]
     tabs = de.tables_to_device(opt)
-    pfn, plan, segst = de._build_pack_only_fn(
-        w, h, ColorType.RGB, config, 16, de.pack_version(), cm=cm
-    )
-    buf, meta = pfn(tuple(streams), *tabs)
+    for budget in de.BUDGET_LADDER:  # production budget selection
+        pfn, plan, segst = de._build_pack_only_fn(
+            w, h, ColorType.RGB, config, budget, de.pack_version(), cm=cm
+        )
+        buf, meta = pfn(tuple(streams), *tabs)
+        ovf = int(np.asarray(meta)[0])
+        if not ovf:
+            break
     compile_s = time.perf_counter() - t0
-    ovf = int(np.asarray(meta)[0])
 
     def run():
         streams, hists = cfn(dimg)
@@ -76,7 +80,7 @@ def bench_optimized(name, config, w, h, reps=3):
         buf, meta = pfn(tuple(streams), *tabs)
         return buf, meta
 
-    ms = _amortized_ms(run)
+    ms = _amortized_ms_robust(run)
     # host K.2 build cost
     t0 = time.perf_counter()
     for _ in range(5):
@@ -85,7 +89,7 @@ def bench_optimized(name, config, w, h, reps=3):
     mps = w * h / 1e6 / (ms / 1e3)
     print(
         f"{name:38s} {mps:9.1f} MP/s  {ms:8.2f} ms  "
-        f"(+{host_ms:.2f} ms host K.2; {len(plan)} scans, ovf={ovf}, "
+        f"(+{host_ms:.2f} ms host K.2; {len(plan)} scans, budget={budget}, "
         f"compile {compile_s:.0f}s)",
         flush=True,
     )
