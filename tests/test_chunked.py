@@ -322,8 +322,11 @@ def test_device_resident_row_source():
         ("sequential_4x1",
          lambda e: e.set_sampling_factor(SamplingFactor.F_4_1)),
         ("progressive", lambda e: e.set_progressive(True)),
-        ("progressive_restart", lambda e: (
-            e.set_progressive(6), e.set_restart_interval(3))),
+        pytest.param(
+            "progressive_restart",
+            lambda e: (e.set_progressive(6), e.set_restart_interval(3)),
+            marks=pytest.mark.slow,
+        ),
         ("optimized",
          lambda e: e.set_optimized_huffman_tables(True)),
         ("optimized_progressive", lambda e: (
@@ -354,6 +357,7 @@ def test_multipass_chunked_product_path(name, setup, monkeypatch):
     assert got == want
 
 
+@pytest.mark.slow
 def test_multipass_chunked_small_chunks(monkeypatch):
     """Direct per-scan payload equality with chunk boundaries forced both
     in the coefficient phase (2 MCU rows) and the pack phase (128-block

@@ -140,7 +140,11 @@ def test_budget_overflow_flag():
     "name,quality,setup",
     [
         ("interleaved", 80, lambda e: None),
-        ("q100_444", 100, lambda e: e.set_sampling_factor(SamplingFactor.F_1_1)),
+        pytest.param(
+            "q100_444", 100,
+            lambda e: e.set_sampling_factor(SamplingFactor.F_1_1),
+            marks=pytest.mark.slow,
+        ),
         ("seq_4x1", 80, lambda e: e.set_sampling_factor(SamplingFactor.F_4_1)),
         pytest.param(
             "progressive", 80, lambda e: e.set_progressive(True),
@@ -186,9 +190,12 @@ def test_full_encode_device_matches_host(name, quality, setup):
         ColorType.LUMA,
         ColorType.YCBCR,
         ColorType.CMYK,
-        ColorType.CMYK_AS_YCCK,
-        ColorType.YCCK,
-        ColorType.BGRA,
+        # Full-encode parity per input format is belt-and-braces over
+        # test_color.py's conversion coverage; keep three representatives
+        # fast, the rest nightly.
+        pytest.param(ColorType.CMYK_AS_YCCK, marks=pytest.mark.slow),
+        pytest.param(ColorType.YCCK, marks=pytest.mark.slow),
+        pytest.param(ColorType.BGRA, marks=pytest.mark.slow),
     ],
 )
 def test_full_encode_device_matches_host_color_types(ct):

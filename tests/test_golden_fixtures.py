@@ -34,9 +34,12 @@ def test_golden_bytes(name, monkeypatch):
 @pytest.mark.parametrize("name", [
     "baseline_q90_444",
     "restart2_q80_420",
-    "progressive4_q90",
+    # Device-path progressive / odd-geometry parity also rides
+    # test_pack_v2 + test_device_entropy in the fast tier; the frozen
+    # fixture pins stay in the nightly tier.
+    pytest.param("progressive4_q90", marks=pytest.mark.slow),
     pytest.param("ycck_prog4_rst2_q90", marks=pytest.mark.slow),
-    "geom258x172_rst4_q80_420",
+    pytest.param("geom258x172_rst4_q80_420", marks=pytest.mark.slow),
 ])
 def test_golden_bytes_device_paths(name, monkeypatch):
     """Both device packers must reproduce the frozen bytes too."""
