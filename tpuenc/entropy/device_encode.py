@@ -242,7 +242,7 @@ def _pack_scans_v2(comp_streams, scan_plan, dc_packed, ac_packed, budget,
             words, lens = banded[i]
         elif spec.emit_dc and not spec.emit_ac:
             words, lens, ovf = _dc_only_pack_blocks(
-                blocks, spec, dc_packed, 256, cm=cm
+                blocks, spec, dc_packed, 512, cm=cm
             )
             overflow = overflow | ovf
         else:

@@ -762,7 +762,7 @@ def scan_pack_blocks_acbands(
     ac_packed,
     budget: int,
     *,
-    tile: int = 256,
+    tile: int = 512,
     interpret: bool = False,
     cm: bool = False,
 ):
@@ -941,7 +941,7 @@ def scan_pack_blocks(
     ac_packed,
     budget: int,
     *,
-    tile: int = 256,
+    tile: int = 512,  # 512-lane tiles measured ~9% faster P1 than 256
     interpret: bool = False,
     dcdiff=None,
     cm: bool = False,
@@ -1382,7 +1382,7 @@ def device_scan_pack(
     ac_packed,
     budget: int,
     *,
-    tile: int = 256,
+    tile: int = 512,
     n_sub: int = 128,
     chunk: int = 256,
     interpret: bool = False,
