@@ -97,10 +97,12 @@ def _amortized_ms(fn_call, reps=3, k=8):
     t1 = min(run(1) for _ in range(reps))
     tk = min(run(k) for _ in range(reps))
     est = (tk - t1) / (k - 1)
-    # Tiny kernels (sub-ms) drown in link jitter at small k: rescale the
-    # chain so the slope signal is >= ~25 ms of device work.
-    if est * (k - 1) < 0.025:
-        k = max(k, int(0.025 / max(est, 1e-5)) + 1)
+    # The single-dispatch baseline t1 carries the link's ~±5 ms round-trip
+    # jitter; keep the chain's device-work signal >= ~120 ms so that
+    # jitter is <5% of the slope (25 ms signals gave ±15% run-to-run
+    # spread on the round-4 captures).
+    if est * (k - 1) < 0.12:
+        k = max(k, int(0.12 / max(est, 1e-5)) + 1)
         tk = min(run(k) for _ in range(reps))
         est = (tk - t1) / (k - 1)
     return max(est * 1e3, 1e-6)
@@ -122,10 +124,57 @@ def _amortized_ms_robust(fn_call, outer=5, agree=0.03, reps=3, k=8):
     return min(ests)
 
 
-def bench_device_resident(setup, img, w, h, reps=3):
-    """Device-resident pixels -> packed scan bytes on device; measures the
-    engine's own throughput without the host link."""
+def _looped_ms(body, px, n_loop=64, k=4, reps=3):
+    """Per-iteration device time of ``body(pixels) -> arrays`` via an
+    in-jit ``lax.fori_loop``: ONE dispatch covers n_loop full iterations
+    of pure device work, so the tunnel's dispatch-rate jitter (±15% on
+    per-dispatch slope timing) cancels.  The body input is XORed with the
+    iteration parity so XLA cannot hoist the loop-invariant computation;
+    every output leaf folds into the carry so no stage is dead code.
+    Returns milliseconds per iteration from a two-point chain slope."""
     import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def loop_run(p):
+        def b(i, carry):
+            pxi = p ^ (i & 1).astype(p.dtype)
+            acc = carry
+            for o in jax.tree_util.tree_leaves(body(pxi)):
+                acc = acc + jax.lax.convert_element_type(
+                    jnp.sum(o), jnp.uint32
+                )
+            return acc
+        return jax.lax.fori_loop(0, n_loop, b, jnp.uint32(0))
+
+    np.asarray(loop_run(px))  # compile + settle
+
+    def chain(n):
+        t0 = time.perf_counter()
+        r = None
+        for _ in range(n):
+            r = loop_run(px)
+        np.asarray(r)
+        return time.perf_counter() - t0
+
+    t1 = min(chain(1) for _ in range(reps))
+    tk = min(chain(k) for _ in range(reps))
+    return (tk - t1) / ((k - 1) * n_loop) * 1e3
+
+
+def bench_device_resident(setup, img, w, h, reps=3, n_loop=64, k=4):
+    """Device-resident pixels -> packed scan bytes on device; measures the
+    engine's own throughput without the host link.
+
+    The headline timing runs the WHOLE fused program inside a
+    ``lax.fori_loop`` (one dispatch per measurement, ~n_loop*k iterations
+    of pure device work per sync): per-dispatch slope timing rides the
+    tunnel's dispatch rate and showed ±15% run-to-run spread.  The loop
+    body XORs the pixel LSBs with the iteration parity so XLA cannot
+    hoist the (loop-invariant) encode out of the loop, and folds the
+    output buffer into the carry so no stage is dead code."""
+    import jax
+    import jax.numpy as jnp
 
     from tpuenc.core.tables import default_tables
     from tpuenc.core.types import ColorType, EncoderConfig, SamplingFactor
@@ -154,7 +203,11 @@ def bench_device_resident(setup, img, w, h, reps=3):
             break
     else:
         raise AssertionError("budget overflow in bench at max budget")
-    ms = _amortized_ms_robust(lambda: fn(dimg, *tabs))
+
+    raw = fn.raw_fn
+    ms = _looped_ms(
+        lambda pxi: raw(pxi, *tabs), dimg, n_loop=n_loop, k=k, reps=reps
+    )
     return w * h / 1e6 / (ms / 1e3), version, budget
 
 

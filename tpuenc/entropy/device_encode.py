@@ -450,7 +450,9 @@ def _build_fused_fn(
         _n_segments(block_counts[si], spec.seg_blocks)
         for si, spec, _ in scan_plan
     ]
-    return jax.jit(fn), scan_plan, seg_structure
+    jitted = jax.jit(fn)
+    jitted.raw_fn = fn  # untraced body (bench loops it in-jit)
+    return jitted, scan_plan, seg_structure
 
 
 @lru_cache(maxsize=32)
@@ -495,7 +497,9 @@ def _build_pack_only_fn(
         _n_segments(block_counts[si], spec.seg_blocks)
         for si, spec, _ in scan_plan
     ]
-    return jax.jit(fn), scan_plan, seg_structure
+    jitted = jax.jit(fn)
+    jitted.raw_fn = fn
+    return jitted, scan_plan, seg_structure
 
 
 @lru_cache(maxsize=32)
@@ -530,7 +534,9 @@ def _build_coeff_hist_fn(
         )
         return streams, hists
 
-    return jax.jit(fn), components, cm
+    jitted = jax.jit(fn)
+    jitted.raw_fn = fn
+    return jitted, components, cm
 
 
 @lru_cache(maxsize=64)
