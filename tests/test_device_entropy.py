@@ -94,6 +94,8 @@ def test_scan_pack_matches_oracle_interleaved_pattern():
         assert got == want
 
 
+@pytest.mark.slow  # superseded in the fast tier by the multiband
+# parity cases in test_pack_v2 (progressive / optimized_progressive)
 def test_scan_pack_progressive_bands():
     (ldc, lac), _ = default_tables()
     rng = np.random.default_rng(3)

@@ -60,6 +60,8 @@ def test_general_sequential_factor4():
 
 
 @needs_devices
+@pytest.mark.slow  # progressive sharding also runs in the driver's
+# multichip dryrun every round (__graft_entry__.dryrun_multichip)
 def test_general_progressive():
     def setup(e):
         e.set_progressive_scans(4)
