@@ -108,22 +108,6 @@ def _amortized_ms(fn_call, reps=3, k=8):
     return max(est * 1e3, 1e-6)
 
 
-def _amortized_ms_robust(fn_call, outer=5, agree=0.03, reps=3, k=8):
-    """Headline-grade slope timing: repeat the whole :func:`_amortized_ms`
-    estimate up to ``outer`` times and return the best, stopping early when
-    the two fastest estimates agree within ``agree`` — a single noisy
-    capture on the ~26 ms-RTT tunnel can no longer set the record
-    (round-3 capture landed 6% below the engine's real speed)."""
-    ests = []
-    for _ in range(outer):
-        ests.append(_amortized_ms(fn_call, reps=reps, k=k))
-        if len(ests) >= 2:
-            a, b = sorted(ests)[:2]
-            if b - a <= agree * a:
-                break
-    return min(ests)
-
-
 def _looped_ms(body, px, n_loop=64, k=4, reps=3):
     """Per-iteration device time of ``body(pixels) -> arrays`` via an
     in-jit ``lax.fori_loop``: ONE dispatch covers n_loop full iterations
@@ -421,7 +405,12 @@ def main():
 
     # The headline metric is the device-resident engine throughput (the
     # e2e number on this rig is bounded by a ~30 MB/s tunneled link, which
-    # a production host-TPU attachment does not have).
+    # a production host-TPU attachment does not have).  Never publish a
+    # zero: a failed device bench with --no-e2e is an ERROR, not a
+    # regression-to-zero in the tracked metric stream.
+    if not dev_mps and headline <= 0:
+        print("no valid measurement produced", file=sys.stderr)
+        sys.exit(1)
     value = dev_mps if dev_mps else headline
     print(
         json.dumps(

@@ -413,3 +413,39 @@ def test_multipass_chunked_stream_and_ycck(monkeypatch):
     pieces = list(enc2.encode_stream(img.tobytes(), w, h, ColorType.YCCK))
     assert enc2.last_encode_path == "device-chunked-multipass"
     assert b"".join(pieces) == want
+
+
+def test_multipass_chunked_optimized_multichunk(monkeypatch):
+    """Regression (round-4 review): optimized-Huffman histograms are
+    accumulated per coefficient chunk; each chunk's first block must be
+    re-binned against the previous chunk's DC (the reference runs ONE
+    unbroken diff chain per component, encoder.rs:1100-1117) or the K.2
+    tables — and therefore every byte after the DHT — drift."""
+    import tpuenc.api as api
+    from tpuenc.entropy import chunked_multipass as cmp_mod
+
+    rng = np.random.default_rng(37)
+    w, h = 48, 170  # 11 MCU rows at 2x2 -> 6 coefficient chunks
+    img = rng.integers(0, 256, (h, w, 3), np.uint8)
+
+    monkeypatch.setenv("TPUENC_DEVICE_ENTROPY", "0")
+    enc = Encoder(85)
+    enc.set_optimized_huffman_tables(True)
+    want = enc.encode(img.tobytes(), w, h, ColorType.RGB)
+
+    orig = cmp_mod.encode_multipass_chunked
+
+    def forced(*args, **kw):
+        kw["chunk_mcu_rows"] = 2
+        return orig(*args, **kw)
+
+    monkeypatch.setenv("TPUENC_DEVICE_ENTROPY", "strict")
+    monkeypatch.setattr(api, "DEVICE_BLOCK_LIMIT", 10)
+    monkeypatch.setattr(
+        cmp_mod, "encode_multipass_chunked", forced
+    )
+    enc2 = Encoder(85)
+    enc2.set_optimized_huffman_tables(True)
+    got = enc2.encode(img.tobytes(), w, h, ColorType.RGB)
+    assert enc2.last_encode_path == "device-chunked-multipass"
+    assert got == want

@@ -279,3 +279,50 @@ def test_device_scan_pack_multi_chunk_rows():
     assert int(total_bits) == exp_bits
     assert np.asarray(lens)[:600].tolist() == [n for _, n in per_block]
     assert _stream_to_int(np.asarray(stream), int(total_bits)) == exp_acc
+
+
+def test_acbands_high_budget_filler_shapes():
+    """Regression: at budget >= 48 the 8-slot direct merge's cap exceeds
+    the items' static reach, leaving output words that are never written;
+    the zero filler must follow the band's chunk-row count (N < 8 for
+    real progressive bands), not a hard-coded 8 (round-4 review)."""
+    import numpy as np
+
+    from tpuenc.core.tables import default_tables
+    from tpuenc.entropy import device_encode as de
+    from tpuenc.entropy.device_pack import ScanSpec
+    from tpuenc.entropy.pallas_pack import (
+        pack_tables,
+        scan_pack_blocks_acbands,
+    )
+
+    rng = np.random.default_rng(41)
+    B = 300
+    blocks = rng.integers(-60, 60, (64, B)).astype(np.int16)
+    blocks[0] = 0  # DC untouched by AC bands anyway
+    huffman = [list(p) for p in default_tables()]
+    dc_p, ac_p = pack_tables(de.tables_to_arrays(huffman))
+    specs = [
+        ScanSpec(1, 21, False, True, (0,), (0,), (1,), 0),
+        ScanSpec(21, 42, False, True, (0,), (0,), (1,), 0),
+        ScanSpec(42, 64, False, True, (0,), (0,), (1,), 0),
+    ]
+    outs = {}
+    for budget in (16, 48, 224):
+        res, ovf = scan_pack_blocks_acbands(
+            blocks, specs, ac_p, budget, interpret=True, cm=True
+        )
+        assert not bool(np.asarray(ovf))
+        outs[budget] = res
+    for b in (48, 224):
+        for (w16, l16), (wb, lb) in zip(outs[16], outs[b]):
+            l16 = np.asarray(l16)
+            np.testing.assert_array_equal(l16, np.asarray(lb))
+            w16 = np.asarray(w16)
+            wb = np.asarray(wb)
+            nw = (l16 + 31) >> 5
+            for blk in range(B):
+                n = int(nw[blk])
+                np.testing.assert_array_equal(
+                    w16[blk, :n], wb[blk, :n], err_msg=f"block {blk}"
+                )

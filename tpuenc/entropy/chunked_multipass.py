@@ -183,9 +183,10 @@ def encode_multipass_chunked(
     want_hists = bool(config.optimize_huffman_table)
     # Per-component pack chunk: never wider than the component itself
     # (rounded to the 256-block pack tile) — a small image must not pad
-    # its store to the full 1M-block production chunk.
+    # its store to the full 1M-block production chunk.  No lower floor:
+    # tests drive tiny pack chunks to pin the mid-stream machinery.
     pack_chunks = [
-        max(256, min(pack_chunk, -(-b // 256) * 256)) for b in comp_counts
+        min(pack_chunk, -(-b // 256) * 256) for b in comp_counts
     ]
     stores = [
         jnp.zeros((64, -(-b // pc) * pc), jnp.int16)
@@ -193,6 +194,8 @@ def encode_multipass_chunked(
     ]
     offsets = [0] * len(components)
     hist_acc = None
+    chunk_starts: List[List[int]] = []  # per later chunk: first global
+    # block index per component (DC boundary correction below)
 
     chunk_mcu_rows = min(chunk_mcu_rows, num_rows)
     n_full = num_rows // chunk_mcu_rows
@@ -238,39 +241,60 @@ def encode_multipass_chunked(
         )
         streams, hists = fn(jax.device_put(slab) if not isinstance(
             slab, jax.Array) else slab)
+        boundary_offs = [
+            offsets[c] for c in range(len(components))
+        ]  # this chunk's first global block index, per component
         for c, s in enumerate(streams):
             upd = _build_store_update_fn(int(s.shape[1]))
             stores[c] = upd(stores[c], s, jnp.asarray(offsets[c], jnp.int32))
             offsets[c] += int(s.shape[1])
+        if ci > 0:
+            chunk_starts.append(boundary_offs)
         if want_hists:
-            pairs = [
-                (np.asarray(dc, np.int64), np.asarray(ac, np.int64))
-                for dc, ac in hists
-            ]
+            # Accumulate ON DEVICE (async adds); one fetch after the loop
+            # — a per-chunk np.asarray would sync every iteration.
             if hist_acc is None:
-                hist_acc = pairs
+                hist_acc = [(dc, ac) for dc, ac in hists]
             else:
                 hist_acc = [
                     (a0 + b0, a1 + b1)
-                    for (a0, a1), (b0, b1) in zip(hist_acc, pairs)
+                    for (a0, a1), (b0, b1) in zip(hist_acc, hists)
                 ]
     assert tuple(offsets) == tuple(comp_counts), (offsets, comp_counts)
 
     # ----- Optimized tables from the accumulated histograms -----
     if want_hists:
-        from ..core.tables import optimized_huffman_table
+        from .huffopt import tables_from_histograms
 
-        for i, (dc_h, ac_h) in enumerate(hist_acc):
-            dc_freq = np.zeros(257, np.int64)
-            dc_freq[:256] = dc_h[:256]
-            dc_freq[256] = 1
-            ac_freq = np.zeros(257, np.int64)
-            ac_freq[:256] = ac_h[:256]
-            ac_freq[256] = 1
-            huffman[i] = [
-                optimized_huffman_table(dc_freq),
-                optimized_huffman_table(ac_freq),
-            ]
+        hist_np = [
+            [np.asarray(dc, np.int64), np.asarray(ac, np.int64)]
+            for dc, ac in hist_acc
+        ]
+        # DC-histogram chunk-boundary correction: each chunk's histogram
+        # binned its first block per component against predecessor 0
+        # (scan_histograms has no mid-stream form); the true predecessor
+        # is the previous chunk's last DC (encoder.rs:1100-1117 runs one
+        # unbroken diff chain per component).  Re-bin those few blocks
+        # from the coefficient store.
+        if chunk_starts:
+            for c, comp in enumerate(components):
+                idx = np.asarray(
+                    [b[c] for b in chunk_starts], np.int32
+                )
+                dc_now = np.asarray(
+                    stores[c][0, jnp.asarray(idx)], np.int64
+                )
+                dc_prev = np.asarray(
+                    stores[c][0, jnp.asarray(idx - 1)], np.int64
+                )
+                tbl = comp.dc_huffman_table
+                for v, p in zip(dc_now, dc_prev):
+                    wrong = int(abs(v)).bit_length()
+                    right = int(abs(v - p)).bit_length()
+                    hist_np[tbl][0][wrong] -= 1
+                    hist_np[tbl][0][right] += 1
+        for i, pair in enumerate(tables_from_histograms(hist_np)):
+            huffman[i] = list(pair)
 
     tabs = tables_to_device(huffman)
     dc_packed, ac_packed = pack_tables(tabs)

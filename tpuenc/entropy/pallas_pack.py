@@ -246,7 +246,11 @@ def _merge_slots8_direct(lens, w, cap_out: int):
             outs[c] = v if outs[c] is None else outs[c] | v
     for c in range(cap_out):
         if outs[c] is None:
-            outs[c] = jnp.zeros((8, T), U32)
+            # cap_out can exceed the items' static reach (budget >= 48
+            # gives 8-slot chunks a cap of 8 while items only reach word
+            # 6): such words are always zero.  Shape must follow N — the
+            # multiband path passes N < 8 chunk rows.
+            outs[c] = jnp.zeros((N, T), U32)
 
     chunk_w = jnp.stack(outs, axis=1)          # (8, cap_out, T)
     chunk_len = total.reshape(N, 1, T)
