@@ -34,7 +34,8 @@ huffman = [list(p) for p in default_tables()]
 dc_p, ac_p = pp.pack_tables(de.tables_to_arrays(huffman))
 plan = de.build_scan_plan(layout, layout["components"], config)
 ((_, spec, _),) = plan
-budget = 16
+import sys as _sys
+budget = int(_sys.argv[1]) if len(_sys.argv) > 1 else 8
 
 
 def t(name, f, *args):
