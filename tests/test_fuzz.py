@@ -290,3 +290,76 @@ if HAVE_HYPOTHESIS:
             enc2.encode_stream(data, w, h, ct, chunk_mcu_rows=chunk)
         )
         assert got == want
+
+
+if HAVE_HYPOTHESIS:
+
+    @settings(
+        max_examples=int(os.environ.get("TPUENC_FUZZ_EXAMPLES", "15")),
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        w=st.integers(17, 70),
+        h=st.integers(33, 120),
+        quality=st.integers(40, 100),
+        ct=st.sampled_from([ColorType.RGB, ColorType.LUMA, ColorType.YCCK]),
+        mode=st.sampled_from(["seq", "prog", "opt", "optprog"]),
+        restart=st.sampled_from([0, 2, 7]),
+        chunk_rows=st.sampled_from([1, 2, 3]),
+        pack_chunk=st.sampled_from([64, 128, 509]),
+        seed=st.integers(0, 2**31),
+    )
+    @pytest.mark.slow
+    def test_fuzz_multipass_chunked_parity(
+        w, h, quality, ct, mode, restart, chunk_rows, pack_chunk, seed,
+    ):
+        """Bounded-memory multipass fuzz: random multi-pass configs and
+        chunk geometries must be byte-identical to the host oracle (the
+        production path for every >DEVICE_BLOCK_LIMIT multi-pass encode)."""
+        import tpuenc.api as api
+        from tpuenc.entropy import chunked_multipass as cmp_mod
+
+        rng = np.random.default_rng(seed)
+        data = rng.integers(
+            0, 256, size=w * h * ct.bytes_per_pixel, dtype=np.uint8
+        ).tobytes()
+
+        def build():
+            enc = Encoder(quality)
+            if mode in ("prog", "optprog"):
+                enc.set_progressive(True)
+            if mode in ("opt", "optprog"):
+                enc.set_optimized_huffman_tables(True)
+            if mode == "seq":
+                enc.set_sampling_factor(SamplingFactor.F_4_1)
+            if restart:
+                enc.set_restart_interval(restart)
+            return enc
+
+        old_env = os.environ.get("TPUENC_DEVICE_ENTROPY")
+        old_limit = api.DEVICE_BLOCK_LIMIT
+        orig = cmp_mod.encode_multipass_chunked
+
+        def forced(*args, **kw):
+            kw["chunk_mcu_rows"] = chunk_rows
+            kw["pack_chunk"] = pack_chunk
+            return orig(*args, **kw)
+
+        try:
+            os.environ["TPUENC_DEVICE_ENTROPY"] = "0"
+            want = build().encode(data, w, h, ct)
+            os.environ["TPUENC_DEVICE_ENTROPY"] = "strict"
+            api.DEVICE_BLOCK_LIMIT = 1
+            cmp_mod.encode_multipass_chunked = forced
+            enc2 = build()
+            got = enc2.encode(data, w, h, ct)
+            assert enc2.last_encode_path == "device-chunked-multipass"
+            assert got == want
+        finally:
+            cmp_mod.encode_multipass_chunked = orig
+            api.DEVICE_BLOCK_LIMIT = old_limit
+            if old_env is None:
+                os.environ.pop("TPUENC_DEVICE_ENTROPY", None)
+            else:
+                os.environ["TPUENC_DEVICE_ENTROPY"] = old_env
