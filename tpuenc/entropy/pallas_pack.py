@@ -389,7 +389,10 @@ def _pack_tile_kernel(
         for p in range(1, pat):
             actab = jnp.where(pos == p, int(spec.ac_tab_pattern[p]), actab)
 
-    q = q_ref[:]  # (64, T) int32, slot-major
+    # int16 coefficient tiles convert to int32 IN the kernel (free on
+    # load) instead of materializing a 2x-wide copy of the whole stream
+    # in HBM before the pallas_call.
+    q = q_ref[:].astype(jnp.int32)  # (64, T), slot-major
 
     # Per-slot item registers, (64 slots, T blocks).  Every item is a
     # SINGLE word: DC <= 16+11 bits, AC symbol+magnitude <= 16+10 bits,
@@ -634,7 +637,10 @@ def _pack_tile_kernel_acbands(
     bidx = g * T + jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
     valid = bidx < n_blocks  # (1, T)
 
-    q = q_ref[:]  # (64, T) int32, slot-major
+    # int16 coefficient tiles convert to int32 IN the kernel (free on
+    # load) instead of materializing a 2x-wide copy of the whole stream
+    # in HBM before the pallas_call.
+    q = q_ref[:].astype(jnp.int32)  # (64, T), slot-major
     slot = jax.lax.broadcasted_iota(jnp.int32, (64, T), 0)
 
     ss_min = min(b[0] for b in bands)
@@ -823,8 +829,7 @@ def scan_pack_blocks_acbands(
     B = blocks.shape[1] if cm else blocks.shape[0]
     n_tiles = -(-B // tile)
     Bp = n_tiles * tile
-    q = blocks.astype(jnp.int32)
-    q = q if cm else q.T
+    q = blocks if cm else blocks.T
     if Bp != B:
         q = jnp.pad(q, ((0, 0), (0, Bp - B)))
     bands = tuple((s.spectral_start, s.spectral_end) for s in specs)
@@ -1004,7 +1009,9 @@ def scan_pack_blocks(
     B = blocks.shape[1] if cm else blocks.shape[0]
     n_tiles = -(-B // tile)
     Bp = n_tiles * tile
-    q = blocks.astype(jnp.int32)
+    # Keep the input dtype (int16 streams stay int16 in HBM; the kernel
+    # widens on load); only the tiny DC row needs int32 here.
+    q = blocks
     if dcdiff is None:
         if spec.emit_dc:
             dc_row = q[0] if cm else q[:, 0]
