@@ -294,7 +294,11 @@ def _build_general_pack_fn(
         quantization_table(config.quantization[0], config.quality, luma=True),
         quantization_table(config.quantization[1], config.quality, luma=False),
     ]
-    interpret = jax.default_backend() != "tpu"
+    # Decide interpret from the MESH's devices, not the process default
+    # backend: a CPU dryrun mesh in a process whose default backend is
+    # still a TPU (the axon plugin ignores JAX_PLATFORMS once initialized)
+    # must run the Mosaic kernels in interpret mode.
+    interpret = mesh.devices.flat[0].platform != "tpu"
     perm = [(i, i + 1) for i in range(n_stripes - 1)]
 
     # Per-scan local block geometry (static).
