@@ -54,8 +54,12 @@ from .huffopt import progressive_bands
 # avg): window maxima are ~4.4 words/block at every span, so 4 fits only
 # natural-photo content (~1-3 words/block) and 8 fits the bench with ~2x
 # headroom; the ladder learns the right rung per (shape, config) via
-# ``_budget_memo``.
-BUDGET_LADDER = (4, 8, 16, 48, 224)
+# ``_budget_memo``.  The 14 rung is sized to dense q100 content
+# (probe_budget.py: 12 overflows, 14 packs the q100 bench image at
+# 1384 MP/s vs 1296 at 16 — same escalation depth, 4 -> 8 -> 14); 16
+# stays in the ladder so content in the narrow 14-16 band pays one
+# extra compile instead of jumping to 48.
+BUDGET_LADDER = (4, 8, 14, 16, 48, 224)
 
 # (key) -> working budget, learned across calls.  Bounded LRU: long-running
 # services encoding many distinct shapes must not grow it without limit,
