@@ -36,8 +36,14 @@ def main():
         fn, plan, segst = de._build_fused_fn(
             w, h, ColorType.RGB, config, budget, version
         )
+        # The timed fori_loop XORs the pixel LSBs with the iteration
+        # parity, so it only ever sees two distinct inputs: img and
+        # img^1.  Check overflow on BOTH so a rung sized exactly at the
+        # fit boundary cannot silently clip bits mid-loop (ADVICE r4).
         buf, meta = fn(dimg, *tabs)
         ovf = int(np.asarray(meta)[0])
+        _, meta_x = fn(dimg ^ np.uint8(1), *tabs)
+        ovf |= int(np.asarray(meta_x)[0])
         compile_s = time.perf_counter() - t0
         if ovf:
             print(f"budget {budget:3d}: OVERFLOW (compile {compile_s:.0f}s)",

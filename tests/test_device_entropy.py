@@ -70,6 +70,28 @@ def test_scan_pack_matches_oracle_single_component():
         assert got == want, trial
 
 
+def test_scan_pack_rung14_dense_matches_oracle():
+    """Byte parity at budget 14 — the ladder's dense-content (q100) rung —
+    on content dense enough to overflow the small rungs (ADVICE r4: rung
+    14 had no committed parity coverage)."""
+    (ldc, lac), (cdc, cac) = default_tables()
+    rng = np.random.default_rng(14)
+    B = 320
+    blocks = (
+        rng.integers(-60, 60, size=(B, 64)) * (rng.random((B, 64)) < 0.35)
+    ).astype(np.int16)
+    blocks[:, 0] = rng.integers(-500, 500, size=B)
+    for interval in (0, 9):
+        spec = ScanSpec(1, 64, True, True, (0,), (0,), (1,), interval)
+        got = _scan_pack_bytes(
+            blocks, spec, [(ldc, lac), (cdc, cac)], budget=14
+        )
+        want = encode_scan(
+            blocks, None, [ldc], [lac], restart_interval_blocks=interval
+        )
+        assert got == want, interval
+
+
 def test_scan_pack_matches_oracle_interleaved_pattern():
     (ldc, lac), (cdc, cac) = default_tables()
     rng = np.random.default_rng(2)

@@ -246,6 +246,33 @@ def test_device_scan_pack_full_pipeline():
     assert _stream_to_int(np.asarray(stream), int(total_bits)) == exp_acc
 
 
+def test_device_scan_pack_rung14_dense_parity():
+    """Byte parity at the production-default dense-content rung 14
+    (BUDGET_LADDER's q100 rung, device_encode.py): dense high-amplitude
+    blocks sized to need more than rung 8 but fit 14, full P1-P4 pipeline
+    vs the serial oracle (ADVICE r4 — the rung had no committed parity
+    coverage)."""
+    from tpuenc.entropy.pallas_pack import device_scan_pack
+
+    spec = SPECS["interleaved_seg"]
+    huffman = _default_tables()
+    rng = np.random.default_rng(140)
+    # q100-like density: ~11 words/block — overflows rung 8, fits 14.
+    blocks = _random_blocks(200, rng, density=0.5, amp=60)
+    dc_p, ac_p = pack_tables(tables_to_arrays(huffman))
+
+    stream, total_bits, lens, ovf = device_scan_pack(
+        jnp.asarray(blocks), spec, dc_p, ac_p, 14,
+        tile=32, n_sub=16, chunk=8, interpret=True,
+    )
+    assert not bool(ovf)
+    per_block = _serial_bits(blocks, spec, huffman)
+    exp_acc, exp_bits = _expected_stream(per_block)
+    assert int(total_bits) == exp_bits
+    assert np.asarray(lens)[:200].tolist() == [n for _, n in per_block]
+    assert _stream_to_int(np.asarray(stream), int(total_bits)) == exp_acc
+
+
 def test_fold_plan_vmem_adaptive():
     """P3 tile sizing: full tile when small, shrinks as caps grow, and
     None (skip P3) when even one substream per step blows VMEM."""
@@ -308,13 +335,13 @@ def test_acbands_high_budget_filler_shapes():
         ScanSpec(42, 64, False, True, (0,), (0,), (1,), 0),
     ]
     outs = {}
-    for budget in (16, 48, 224):
+    for budget in (14, 16, 48, 224):
         res, ovf = scan_pack_blocks_acbands(
             blocks, specs, ac_p, budget, interpret=True, cm=True
         )
         assert not bool(np.asarray(ovf))
         outs[budget] = res
-    for b in (48, 224):
+    for b in (14, 48, 224):
         for (w16, l16), (wb, lb) in zip(outs[16], outs[b]):
             l16 = np.asarray(l16)
             np.testing.assert_array_equal(l16, np.asarray(lb))

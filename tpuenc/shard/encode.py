@@ -104,7 +104,11 @@ class ShardedEncoder(Encoder):
         from ..core.types import JpegColorType, init_components
         from ..entropy import native
         from ..entropy.chunked import BitAccumulator
-        from ..entropy.device_encode import BUDGET_LADDER
+        from ..entropy.device_encode import (
+            BUDGET_LADDER,
+            _budget_memo,
+            _memo_put,
+        )
         from ..entropy.huffopt import tables_from_histograms
         from ..entropy.pallas_pack import pack_tables
         from ..jfif import markers, segments
@@ -168,7 +172,18 @@ class ShardedEncoder(Encoder):
         rows_local = geo["rows_per_stripe"]
         num_rows = geo["num_rows"]
 
-        for budget in BUDGET_LADDER:
+        # Learned-budget memo (mirrors device_encode._budget_memo): start
+        # the ladder at the rung that worked last time for this
+        # (shape, config, mesh) so steady-state calls skip the overflow
+        # escalation round trips.
+        memo_key = (
+            "sharded-general", width, height, color_type, config,
+            n_b, n_s,
+        )
+        budgets = list(BUDGET_LADDER)
+        if memo_key in _budget_memo:
+            budgets = [b for b in budgets if b >= _budget_memo[memo_key]]
+        for budget in budgets:
             fn, geo, plan, local_counts = _build_general_pack_fn(
                 width, height, color_type, config, self._mesh, budget
             )
@@ -189,6 +204,7 @@ class ShardedEncoder(Encoder):
                 )
             if overflow:
                 continue
+            _memo_put(memo_key, budget)
 
             results = []
             for b in range(n_b):
