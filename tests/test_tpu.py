@@ -159,6 +159,29 @@ def test_chunked_path_parity_on_tpu(monkeypatch):
     assert got == want
 
 
+def test_high_scan_progressive_parity_on_tpu(monkeypatch):
+    """64-scan RGB progressive (192-entry plan, past the old 48-entry
+    gate — reference domain encoder.rs:321-333) packs on the device path
+    byte-identically to the host packer, empty band [1,1) included."""
+    monkeypatch.setenv("TPUENC_DEVICE_ENTROPY", "strict")
+    from tpuenc import ColorType, Encoder
+
+    rng = np.random.default_rng(64)
+    w, h = 96, 64
+    img = rng.integers(0, 256, (h, w, 3), np.uint8)
+
+    enc = Encoder(85)
+    enc.set_progressive_scans(64)
+    got = enc.encode(img, w, h, ColorType.RGB)
+    assert enc.last_encode_path.startswith("device-v")
+
+    monkeypatch.setenv("TPUENC_DEVICE_ENTROPY", "0")
+    enc2 = Encoder(85)
+    enc2.set_progressive_scans(64)
+    want = enc2.encode(img, w, h, ColorType.RGB)
+    assert got == want
+
+
 def test_decode_with_pillow_on_tpu(monkeypatch):
     """End-to-end sanity: TPU-encoded bytes decode via Pillow (independent
     libjpeg) within the reference suite's |diff| < 20 tolerance on a

@@ -59,6 +59,29 @@ FALLBACK_COUNTS = {"host": 0, "error": 0}
 # streaming path (entropy.chunked), others fall back to the host packer.
 DEVICE_BLOCK_LIMIT = 3_000_000
 
+# Cap on the fused program's total (scan x block) pack rows: every scan
+# of the plan contributes one packed-word row per block of its feeding
+# stream to the shared P2-P4 merge.  12M rows covers the full 2-64
+# progressive scan domain at the 3.6 MP bench size (64-scan RGB 4:4:4 =
+# ~10.8M rows) while bounding the merge's intermediate memory; bigger
+# products stream through the bounded-memory multipass path.
+DEVICE_PACK_ROWS_LIMIT = 12_000_000
+
+
+def _plan_pack_rows(width, height, color_type, config) -> int:
+    """Total packed-word rows the fused device program would materialize
+    for this config's scan plan (one row per block per scan)."""
+    from .kernels.pipeline import scan_layout
+
+    layout = scan_layout(width, height, color_type, config)
+    if layout["interleaved"]:
+        return len(layout["mcu_block_comps"]) * layout["mcu_count"]
+    counts = layout["comp_block_counts"]
+    scans_per_comp = 1
+    if config.progressive_scans is not None:
+        scans_per_comp = config.progressive_scans  # 1 DC + (n-1) AC bands
+    return sum(counts) * scans_per_comp
+
 
 def _check_dims(width: int, height: int) -> None:
     """Reference dimension domain: non-zero (encoder.rs:521-526) and
@@ -676,20 +699,22 @@ class Encoder:
         try:
             from .entropy import device_encode as de
 
-            plan_len = 1
-            if config.mode() != "interleaved":
-                ncomp = len(components)
-                plan_len = ncomp
-                if config.progressive_scans is not None:
-                    plan_len = ncomp + (config.progressive_scans - 1) * ncomp
-            if plan_len > 48:
-                _log.info("device entropy declined: %d scans", plan_len)
-                return None  # giant progressive scan counts: host path
+            # The fused whole-image program materializes one packed-word
+            # row per (scan, block) pair; its memory scales with the
+            # plan's TOTAL pack rows, not the plan length.  A 64-scan
+            # progressive plan over a small image is fine (the reference
+            # domain is 2-64 scans per component, encoder.rs:321-333);
+            # a big image with many scans must stream through the
+            # bounded-memory multipass path instead.
+            plan_rows = _plan_pack_rows(width, height, color_type, config)
             # Very large block counts would blow the whole-image packing
             # tree's intermediate memory (~1KB/block): stream MCU-row
             # chunks through the device packer instead (bounded memory,
             # reference streaming model encoder.rs:699-807).
-            if (width // 8 + 1) * (height // 8 + 1) > DEVICE_BLOCK_LIMIT:
+            if (
+                (width // 8 + 1) * (height // 8 + 1) > DEVICE_BLOCK_LIMIT
+                or plan_rows > DEVICE_PACK_ROWS_LIMIT
+            ):
                 if (
                     config.mode() == "interleaved"
                     and not config.optimize_huffman_table
@@ -764,6 +789,7 @@ class Encoder:
             streams, hists = fn(pixels)
             from .core.tables import optimized_huffman_table
 
+            hists_np = []
             for i, (dc_h, ac_h) in enumerate(hists):
                 dc_freq = np.zeros(257, np.int64)
                 dc_freq[:256] = np.asarray(dc_h)[:256]
@@ -771,13 +797,28 @@ class Encoder:
                 ac_freq = np.zeros(257, np.int64)
                 ac_freq[:256] = np.asarray(ac_h)[:256]
                 ac_freq[256] = 1
+                hists_np.append((dc_freq, ac_freq))
                 huffman[i] = [
                     optimized_huffman_table(dc_freq),
                     optimized_huffman_table(ac_freq),
                 ]
+            # Size the aggregate pack budget exactly from the first-pass
+            # statistics (VERDICT r4 #4): symbol counts x optimized code
+            # sizes give total stream bits, so the ladder can start at
+            # the covering rung instead of probing up from the bottom.
+            from .entropy.huffopt import (
+                budget_hint_from_bits,
+                exact_stream_bits,
+            )
+
+            hint = budget_hint_from_bits(
+                exact_stream_bits(hists_np, huffman[: len(hists_np)]),
+                _plan_pack_rows(width, height, color_type, config),
+            )
             return de.device_encode_scans(
                 pixels, width, height, color_type, config, huffman,
                 comp_streams=streams, comp_streams_cm=cm,
+                budget_hint=hint,
             )
         return de.device_encode_scans(
             pixels, width, height, color_type, config, huffman

@@ -44,6 +44,12 @@ def ac_stats(blocks, start: int, end: int, cm: bool = False):
     )
     L = end - start
     nz = band != 0
+    if L == 0:
+        # Empty band ([1, 1) for scans >= 34, encoder.rs:926-936): no
+        # symbols and no EOB (writer.rs:364-384), so no histogram mass.
+        B = blocks.shape[1] if cm else blocks.shape[0]
+        zero = jnp.zeros(band.shape, jnp.int32)
+        return nz, zero, zero, zero, jnp.zeros((B,), bool)
     shape = (L, 1) if cm else (1, L)
     idx = jnp.broadcast_to(
         jnp.arange(L, dtype=jnp.int32).reshape(shape), band.shape
@@ -166,15 +172,32 @@ def scan_histograms(
     if pallas is None:
         pallas = cm and os.environ.get("TPUENC_PALLAS_HIST", "1") != "0"
     if pallas:
-        from .pallas_hist import ac_histogram_pallas
+        from .pallas_hist import ac_histograms_pallas_multiband
 
         interpret = jax.default_backend() != "tpu"
 
-        def ac_fn(blocks, start, end):
-            return ac_histogram_pallas(blocks, start, end, interpret)
+        def ac_all_bands(blocks, bands):
+            # All bands of one component share one kernel launch (tile
+            # load + lastnz scan + size categories computed once, counts
+            # accumulated in VMEM); <= 8 bands per launch bounds the
+            # scratch and the in-kernel unroll.
+            out = []
+            for k in range(0, len(bands), 8):
+                out += ac_histograms_pallas_multiband(
+                    blocks, tuple(bands[k:k + 8]), interpret
+                )
+            return out
     else:
-        def ac_fn(blocks, start, end):
-            return ac_histogram(blocks, start, end, cm=cm)
+        def ac_all_bands(blocks, bands):
+            return [
+                ac_histogram(blocks, start, end, cm=cm)
+                for start, end in bands
+            ]
+
+    if progressive_scans is not None:
+        bands = progressive_bands(progressive_scans)
+    else:
+        bands = [(1, 64)]
 
     max_tables = min(len(components), 2)
     out = []
@@ -185,10 +208,7 @@ def scan_histograms(
             if comp.dc_huffman_table == table:
                 dc = dc + dc_histogram(blocks, cm=cm)
             if comp.ac_huffman_table == table:
-                if progressive_scans is not None:
-                    for start, end in progressive_bands(progressive_scans):
-                        ac = ac + ac_fn(blocks, start, end)
-                else:
-                    ac = ac + ac_fn(blocks, 1, 64)
+                for h in ac_all_bands(blocks, bands):
+                    ac = ac + h
         out.append((dc, ac))
     return tuple(out)

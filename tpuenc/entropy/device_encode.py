@@ -54,12 +54,13 @@ from .huffopt import progressive_bands
 # avg): window maxima are ~4.4 words/block at every span, so 4 fits only
 # natural-photo content (~1-3 words/block) and 8 fits the bench with ~2x
 # headroom; the ladder learns the right rung per (shape, config) via
-# ``_budget_memo``.  The 14 rung is sized to dense q100 content
-# (probe_budget.py: 12 overflows, 14 packs the q100 bench image at
-# 1384 MP/s vs 1296 at 16 — same escalation depth, 4 -> 8 -> 14); 16
-# stays in the ladder so content in the narrow 14-16 band pays one
-# extra compile instead of jumping to 48.
-BUDGET_LADDER = (4, 8, 14, 16, 48, 224)
+# ``_budget_memo``.  The 14 rung is sized to dense q100 content with
+# DEFAULT tables (probe_budget.py: 12 overflows, 14 packs the q100 bench
+# image at 1384 MP/s vs 1296 at 16); 12 is the K.2-OPTIMIZED-table rung
+# for the same content (shorter codes: avg 10.70 words/block, fits 12,
+# pack 1.37 vs 1.70 ms — probe_opt r5); 16 stays so content in the
+# narrow 14-16 band pays one extra compile instead of jumping to 48.
+BUDGET_LADDER = (4, 8, 12, 14, 16, 48, 224)
 
 # (key) -> working budget, learned across calls.  Bounded LRU: long-running
 # services encoding many distinct shapes must not grow it without limit,
@@ -890,11 +891,16 @@ def device_encode_scans(
     huffman,
     comp_streams=None,
     comp_streams_cm: bool = False,
+    budget_hint: int = 0,
 ) -> Optional[List[bytes]]:
     """Encode all scans on device; returns the per-scan entropy byte strings
     (stuffed, with RST markers) in scan order, or None if the device path
     declines (pathological overflow).  ``comp_streams_cm`` says the given
-    streams are coefficient-major (64, B)."""
+    streams are coefficient-major (64, B).  ``budget_hint`` (optional,
+    words/row) starts the ladder at the first rung that covers it — the
+    optimized-table flow computes it exactly from the first-pass
+    histograms (``huffopt.exact_stream_bits``), skipping overflow probes
+    on first encounter; a learned memo entry takes precedence."""
     version = pack_version()
     key = (width, height, color_type, config, version)
     tabs = tables_to_device(huffman)
@@ -902,6 +908,9 @@ def device_encode_scans(
     budgets = list(BUDGET_LADDER)
     if key in _budget_memo:
         budgets = [b for b in budgets if b >= _budget_memo[key]]
+    elif budget_hint > 0:
+        covering = [b for b in budgets if b >= budget_hint]
+        budgets = covering or [budgets[-1]]
 
     for budget in budgets:
         if comp_streams is None:

@@ -311,7 +311,12 @@ def scan_pack(
         slot_lens = slot_lens.at[:, 0].set(dc_reg.len)
 
     eob_flag = jnp.zeros((B,), dtype=bool)
-    if spec.emit_ac:
+    # Empty spectral band: the reference's band math (encoder.rs:926-936,
+    # values_per_scan = 64/(scans-1)) yields band [1, 1) for every
+    # scans >= 34; write_ac_block over an empty range emits NOTHING (no
+    # EOB — writer.rs:364-384 leaves zero_run at 0), so the scan's
+    # entropy payload is empty.
+    if spec.emit_ac and se > ss:
         L = se - ss
         band = q[:, ss:se]
         nz = band != 0

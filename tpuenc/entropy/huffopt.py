@@ -129,3 +129,42 @@ def tables_from_histograms(
         acf[256] = 1
         out.append((optimized_huffman_table(dcf), optimized_huffman_table(acf)))
     return out
+
+
+def exact_stream_bits(
+    hist_pairs: Sequence[Tuple[np.ndarray, np.ndarray]],
+    tables: Sequence[Sequence[HuffmanTable]],
+) -> int:
+    """EXACT total entropy-coded bit count of all scans, from the
+    two-pass histograms and the tables that will encode them: every DC
+    symbol of size s costs code_size(s) + s magnitude bits, every AC
+    symbol (run<<4|size) costs code_size(sym) + (sym & 15) magnitude
+    bits (ZRL 0xF0 and EOB 0x00 carry no magnitude bits and are already
+    counted in the histogram).  Segment byte-padding is not included
+    (< 7 bits per restart segment).
+
+    Lets the optimized-table flow size its aggregate pack budget from
+    content instead of probing the ladder (VERDICT r4 #4).
+    """
+    total = 0
+    syms = np.arange(256, dtype=np.int64)
+    extra = syms & 15
+    for (dcf, acf), (dct, act) in zip(hist_pairs, tables):
+        dcf = np.asarray(dcf, dtype=np.int64)[:256]
+        acf = np.asarray(acf, dtype=np.int64)[:256]
+        dc_cost = np.asarray(dct.sizes[:256], np.int64) + syms
+        ac_cost = np.asarray(act.sizes[:256], np.int64) + extra
+        total += int((dcf * dc_cost).sum()) + int((acf * ac_cost).sum())
+    return total
+
+
+def budget_hint_from_bits(total_bits: int, plan_rows: int) -> int:
+    """Aggregate-budget starting rung from exact content bits: average
+    packed words per (scan, block) pack row with a small safety factor.
+    Measured fit-rung/average ratios are 1.12-1.14 on dense q100 content
+    (probe_opt r5), so 1.05 starts at most one rung low — ladder
+    escalation (one extra dispatch, memoized) covers the rest."""
+    if plan_rows <= 0:
+        return 0
+    avg = total_bits / 32.0 / plan_rows
+    return int(np.ceil(avg * 1.05))

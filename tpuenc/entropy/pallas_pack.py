@@ -829,6 +829,22 @@ def scan_pack_blocks_acbands(
     B = blocks.shape[1] if cm else blocks.shape[0]
     n_tiles = -(-B // tile)
     Bp = n_tiles * tile
+    # Empty bands (band [1, 1) for scans >= 34, encoder.rs:926-936) emit
+    # nothing per block — not even EOB (writer.rs:364-384).  Keep them out
+    # of the kernel (a zero-width band has no slot rows) and synthesize
+    # zero outputs in plan order.
+    live = [i for i, s in enumerate(specs)
+            if s.spectral_start < s.spectral_end]
+    if len(live) < len(specs):
+        zero = (jnp.zeros((Bp, 1), U32), jnp.zeros((Bp,), jnp.int32))
+        if not live:
+            return [zero for _ in specs], jnp.asarray(False)
+        outs_live, ovf = scan_pack_blocks_acbands(
+            blocks, [specs[i] for i in live], ac_packed, budget,
+            tile=tile, interpret=interpret, cm=cm,
+        )
+        by_idx = dict(zip(live, outs_live))
+        return [by_idx.get(i, zero) for i in range(len(specs))], ovf
     q = blocks if cm else blocks.T
     if Bp != B:
         q = jnp.pad(q, ((0, 0), (0, Bp - B)))
@@ -1009,6 +1025,17 @@ def scan_pack_blocks(
     B = blocks.shape[1] if cm else blocks.shape[0]
     n_tiles = -(-B // tile)
     Bp = n_tiles * tile
+    if spec.emit_ac and not spec.emit_dc and \
+            spec.spectral_start >= spec.spectral_end:
+        # Empty spectral band — the reference's band math
+        # (encoder.rs:926-936) yields band [1, 1) for scans >= 34 and
+        # write_ac_block over an empty range emits nothing, not even EOB
+        # (writer.rs:364-384): every block is 0 bits.
+        return (
+            jnp.zeros((Bp, 1), U32),
+            jnp.zeros((Bp,), jnp.int32),
+            jnp.asarray(False),
+        )
     # Keep the input dtype (int16 streams stay int16 in HBM; the kernel
     # widens on load); only the tiny DC row needs int32 here.
     q = blocks

@@ -67,6 +67,19 @@ def ac_symbols(blocks: np.ndarray, start: int, end: int):
     B, L = band.shape
     nz = band != 0
 
+    if L == 0:
+        # Empty spectral band (reference band math encoder.rs:926-936
+        # yields band [1, 1) for scans >= 34): write_ac_block over an
+        # empty range emits nothing — not even EOB (writer.rs:364-384).
+        return {
+            "nz": nz,
+            "zrl": np.zeros((B, 0), np.int32),
+            "sym": np.zeros((B, 0), np.int32),
+            "size": np.zeros((B, 0), np.int32),
+            "extra": np.zeros((B, 0), np.int32),
+            "eob": np.zeros((B,), bool),
+        }
+
     idx = np.arange(L, dtype=np.int32)
     lastnz = np.maximum.accumulate(np.where(nz, idx, -1), axis=1)
     prev = np.concatenate(
