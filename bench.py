@@ -178,12 +178,19 @@ def bench_device_resident(setup, img, w, h, reps=3, n_loop=64, k=4):
     dimg = jax.device_put(img)
     # Budget selection mirrors production: start at the ladder bottom,
     # escalate on overflow (the aggregate caps are statistical).
+    # The timed fori_loop XORs the pixel LSBs with the iteration parity,
+    # so check overflow on BOTH inputs it will see — a rung sized exactly
+    # at the fit boundary must not silently clip bits mid-loop.
     for budget in de.BUDGET_LADDER:
         fn, plan, segst = de._build_fused_fn(
             w, h, ColorType.RGB, config, budget, version
         )
         buf, meta = fn(dimg, *tabs)
-        if int(np.asarray(meta)[0]) == 0:
+        ovf = int(np.asarray(meta)[0])
+        if not ovf:
+            _, meta_x = fn(dimg ^ np.uint8(1), *tabs)
+            ovf = int(np.asarray(meta_x)[0])
+        if not ovf:
             break
     else:
         raise AssertionError("budget overflow in bench at max budget")

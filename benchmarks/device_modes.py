@@ -34,6 +34,11 @@ def bench_mode(name, config, w, h, color_type=None, reps=3):
         buf, meta = fn(dimg, *tabs)
         ovf = int(np.asarray(meta)[0])
         if not ovf:
+            # The timed loop XORs the pixel LSBs; check that parity too
+            # so a boundary rung cannot clip bits mid-loop.
+            _, meta_x = fn(dimg ^ np.uint8(1), *tabs)
+            ovf = int(np.asarray(meta_x)[0])
+        if not ovf:
             break
     compile_s = time.perf_counter() - t0
     # In-jit loop timing (see bench._looped_ms): per-dispatch slope
@@ -72,6 +77,11 @@ def bench_optimized(name, config, w, h, reps=3):
         )
         buf, meta = pfn(tuple(streams), *tabs)
         ovf = int(np.asarray(meta)[0])
+        if not ovf:
+            # Check the XOR parity the timed loop will also see.
+            streams_x, _ = cfn(dimg ^ np.uint8(1))
+            _, meta_x = pfn(tuple(streams_x), *tabs)
+            ovf = int(np.asarray(meta_x)[0])
         if not ovf:
             break
     compile_s = time.perf_counter() - t0

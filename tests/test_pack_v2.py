@@ -116,3 +116,23 @@ def test_v2_batch_fused(v2_device_entropy, monkeypatch):
     for i in range(3):
         whole = Encoder(90).encode(imgs[i].tobytes(), w, h, CT.RGB)
         assert got[i][0] in whole
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", ["baseline", "q80_420_restart"])
+def test_fused_sample_pack_parity(name, v2_device_entropy, monkeypatch):
+    """Opt-in fused fDCT+quantize+DC-diff+P1 kernel (TPUENC_FUSED_P1=1,
+    measured slower on v5e but kept byte-correct — device_encode notes):
+    bytes must equal the host packer on interleaved configs including
+    restarts and 4:2:0 per-lane quantization tables."""
+    monkeypatch.setenv("TPUENC_FUSED_P1", "1")
+    monkeypatch.setenv("TPUENC_PALLAS_FDCT", "1")
+    cfg = CONFIGS[name]
+    rng = np.random.default_rng(23)
+    w, h = 70, 46
+    img = rng.integers(0, 256, (h, w, 3), np.uint8).tobytes()
+
+    got = _build(cfg).encode(img, w, h, ColorType.RGB)
+    want = _host_encode(lambda: _build(cfg), img, w, h, ColorType.RGB,
+                        monkeypatch)
+    assert got == want

@@ -54,13 +54,16 @@ from .huffopt import progressive_bands
 # avg): window maxima are ~4.4 words/block at every span, so 4 fits only
 # natural-photo content (~1-3 words/block) and 8 fits the bench with ~2x
 # headroom; the ladder learns the right rung per (shape, config) via
-# ``_budget_memo``.  The 14 rung is sized to dense q100 content with
-# DEFAULT tables (probe_budget.py: 12 overflows, 14 packs the q100 bench
-# image at 1384 MP/s vs 1296 at 16); 12 is the K.2-OPTIMIZED-table rung
-# for the same content (shorter codes: avg 10.70 words/block, fits 12,
-# pack 1.37 vs 1.70 ms — probe_opt r5); 16 stays so content in the
-# narrow 14-16 band pays one extra compile instead of jumping to 48.
-BUDGET_LADDER = (4, 8, 12, 14, 16, 48, 224)
+# ``_budget_memo``.  Rungs 5/6 fit the noise-heavy q90 bench content
+# that overflows 4 (probe r5: rung 5 packs the flagship at 1930 MP/s vs
+# 1730 at the old 8 — the P2-P4 aggregate caps scale with the rung).
+# The 14 rung is sized to dense q100 content with DEFAULT tables
+# (probe_budget.py: 12 overflows, 14 packs the q100 bench image at
+# 1384 MP/s vs 1296 at 16); 12 is the K.2-OPTIMIZED-table rung for the
+# same content (shorter codes: avg 10.70 words/block, fits 12, pack
+# 1.37 vs 1.70 ms — probe_opt r5); 16 stays so content in the narrow
+# 14-16 band pays one extra compile instead of jumping to 48.
+BUDGET_LADDER = (4, 5, 6, 8, 12, 14, 16, 48, 224)
 
 # (key) -> working budget, learned across calls.  Bounded LRU: long-running
 # services encoding many distinct shapes must not grow it without limit,
@@ -432,19 +435,91 @@ def _build_fused_fn(
     inner = coeff_fn.raw_fn_cm if cm else coeff_fn.raw_fn
     interpret = jax.default_backend() != "tpu"
 
-    def fn(pixels, dc_sizes, dc_codes, ac_sizes, ac_codes):
-        streams = inner(pixels)
-        if version == "v2":
+    # Interleaved single-scan v2 EXPERIMENT (TPUENC_FUSED_P1=1): fuse
+    # fDCT + quantize + DC diff + P1 into ONE Mosaic kernel
+    # (pallas_pack.fused_sample_pack_blocks) — the coefficient stream
+    # never exists in HBM and the separate P1 launch disappears.
+    # Byte-identical, but measured SLOWER on v5e (flagship 1679 vs 1934
+    # MP/s; P1-only 1.64 vs split coeff+P1 1.37 ms at tiles 256/512/
+    # 1024): the saved 2x21.6 MB HBM round trip (~0.06 ms) is dwarfed by
+    # the combined kernel's worse VPU scheduling — the 64-row butterfly
+    # chain and the P1 register file together exceed what Mosaic
+    # overlaps across grid steps.  Off by default; kept as the measured
+    # answer to the fdct+P1-fusion roadmap item (docs/PERF.md r5).
+    import os
+
+    use_fused_p1 = (
+        cm
+        and layout["interleaved"]
+        and len(scan_plan) == 1
+        and coeff_fn.raw_fn_cm_samples is not None
+        and os.environ.get("TPUENC_FUSED_P1", "0") == "1"
+    )
+    if use_fused_p1:
+        import numpy as _np
+
+        from ..core.tables import ZIGZAG
+        from .pallas_pack import fused_sample_pack_blocks, merge_pack_stream
+
+        q_tables = [
+            quantization_table(config.quantization[0], config.quality, True),
+            quantization_table(config.quantization[1], config.quality, False),
+        ]
+        recip2 = _np.stack(
+            [_np.asarray(t.reciprocals)[ZIGZAG] for t in q_tables], axis=1
+        ).astype(_np.int32)
+        corr2 = _np.stack(
+            [_np.asarray(t.corrections)[ZIGZAG] for t in q_tables], axis=1
+        ).astype(_np.int32)
+        qtab_pattern = tuple(
+            components[c].quantization_table
+            for c in layout["mcu_block_comps"]
+        )
+        (_, spec0, _), = scan_plan
+        samples_fn = coeff_fn.raw_fn_cm_samples
+        B_total = len(layout["mcu_block_comps"]) * layout["mcu_count"]
+        seg0 = spec0.seg_blocks if spec0.seg_blocks > 0 else B_total
+        n_seg0 = -(-B_total // seg0)
+
+        def fn(pixels, dc_sizes, dc_codes, ac_sizes, ac_codes):
+            x_cm = samples_fn(pixels)
             dc_p, ac_p = _pack_tables_jnp(
                 dc_sizes, dc_codes, ac_sizes, ac_codes
             )
-            return _pack_scans_v2(
-                streams, scan_plan, dc_p, ac_p, budget, interpret, cm=cm
+            words, lens, ovf = fused_sample_pack_blocks(
+                x_cm, spec0, qtab_pattern,
+                jnp.asarray(recip2), jnp.asarray(corr2),
+                dc_p, ac_p, budget, interpret=interpret,
             )
-        return _pack_scans(
-            streams, scan_plan, None,
-            (dc_sizes, dc_codes, ac_sizes, ac_codes), budget,
-        )
+            out, _, ovf2 = merge_pack_stream(
+                words, lens, budget, interpret=interpret
+            )
+            lens_real = lens[:B_total]
+            padded = jnp.pad(lens_real, (0, n_seg0 * seg0 - B_total))
+            seg_bits = padded.reshape(n_seg0, seg0).sum(axis=1)
+            meta = jnp.concatenate(
+                [
+                    (ovf | ovf2).astype(jnp.int32)[None],
+                    jnp.sum(lens, dtype=jnp.int32)[None],
+                    seg_bits,
+                ]
+            )
+            return out, meta
+
+    else:
+        def fn(pixels, dc_sizes, dc_codes, ac_sizes, ac_codes):
+            streams = inner(pixels)
+            if version == "v2":
+                dc_p, ac_p = _pack_tables_jnp(
+                    dc_sizes, dc_codes, ac_sizes, ac_codes
+                )
+                return _pack_scans_v2(
+                    streams, scan_plan, dc_p, ac_p, budget, interpret, cm=cm
+                )
+            return _pack_scans(
+                streams, scan_plan, None,
+                (dc_sizes, dc_codes, ac_sizes, ac_codes), budget,
+            )
 
     if layout["interleaved"]:
         block_counts = [len(layout["mcu_block_comps"]) * layout["mcu_count"]]

@@ -364,12 +364,46 @@ def _pack_tile_kernel(
     from jax.experimental import pallas as pl
 
     T = tile
-    ss, se = spec.spectral_start, spec.spectral_end
-    pat = len(spec.dc_tab_pattern)
-
     g = pl.program_id(0)
     bidx = g * T + jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
     valid = bidx < n_blocks  # (1, T)
+
+    # int16 coefficient tiles convert to int32 IN the kernel (free on
+    # load) instead of materializing a 2x-wide copy of the whole stream
+    # in HBM before the pallas_call.
+    q = q_ref[:].astype(jnp.int32)  # (64, T), slot-major
+    diff = dcdiff_ref[:] if spec.emit_dc else None
+
+    cur_len, cur_w, overflow = _p1_tile_body(
+        q, diff, bidx, valid, dctabs_ref, actabs_ref,
+        tile=T, spec=spec, budget=budget,
+    )
+
+    # cur_len (1, 1, T), cur_w (1, cap_final, T).  Row 0 of the lens slab
+    # holds per-block bit lengths; row 1 broadcasts the tile overflow flag
+    # (a separate (1,1) output block is not a legal Mosaic block shape).
+    words_ref[0] = cur_w[0]
+    lens_ref[0, 0] = cur_len[0, 0]
+    lens_ref[0, 1] = jnp.broadcast_to(
+        overflow.astype(jnp.int32).reshape(1, 1), (1, T)
+    )[0]
+
+
+def _p1_tile_body(
+    q, diff, bidx, valid, dctabs_ref, actabs_ref,
+    *,
+    tile: int,
+    spec: ScanSpec,
+    budget: int,
+):
+    """The phase-1 symbolize + in-block merge on one (64, T) quantized
+    tile already held in registers: shared between :func:`_pack_tile_kernel`
+    (coefficients read from HBM) and the fused sample->pack kernel
+    (coefficients produced in-register by the fDCT+quantize prologue).
+    Returns ``(cur_len (1, 1, T), cur_w (1, cap_final, T), overflow)``."""
+    T = tile
+    ss, se = spec.spectral_start, spec.spectral_end
+    pat = len(spec.dc_tab_pattern)
 
     # Static per-block table ids from the repeating pattern (lanes).
     distinct_dc = sorted(set(spec.dc_tab_pattern))
@@ -389,11 +423,6 @@ def _pack_tile_kernel(
         for p in range(1, pat):
             actab = jnp.where(pos == p, int(spec.ac_tab_pattern[p]), actab)
 
-    # int16 coefficient tiles convert to int32 IN the kernel (free on
-    # load) instead of materializing a 2x-wide copy of the whole stream
-    # in HBM before the pallas_call.
-    q = q_ref[:].astype(jnp.int32)  # (64, T), slot-major
-
     # Per-slot item registers, (64 slots, T blocks).  Every item is a
     # SINGLE word: DC <= 16+11 bits, AC symbol+magnitude <= 16+10 bits,
     # and ZRL codes (<= 16 bits) are emitted in their own slots — the
@@ -409,8 +438,7 @@ def _pack_tile_kernel(
 
     # ----- DC item (slot 0) ------------------------------------------------
     if spec.emit_dc:
-        diff = dcdiff_ref[:]  # (1, T) int32
-        size = _bit_length(jnp.abs(diff))
+        size = _bit_length(jnp.abs(diff))  # diff: (1, T) int32
         extra = (diff - (diff < 0).astype(jnp.int32)).astype(U32) & _mask(size)
         # DC table lookup as a scalar-load select chain: only 16 entries
         # per table (size <= 11 for 8-bit data), so 16 selects per
@@ -565,14 +593,7 @@ def _pack_tile_kernel(
     else:
         cur_w = jnp.pad(cur_w, ((0, 0), (0, cap_final - caps[-1]), (0, 0)))
 
-    # cur_len (1, 1, T), cur_w (1, cap_final, T).  Row 0 of the lens slab
-    # holds per-block bit lengths; row 1 broadcasts the tile overflow flag
-    # (a separate (1,1) output block is not a legal Mosaic block shape).
-    words_ref[0] = cur_w[0]
-    lens_ref[0, 0] = cur_len[0, 0]
-    lens_ref[0, 1] = jnp.broadcast_to(
-        overflow.astype(jnp.int32).reshape(1, 1), (1, T)
-    )[0]
+    return cur_len, cur_w, overflow
 
 
 def final_block_cap(budget: int) -> int:
@@ -1628,3 +1649,203 @@ def merge_blocks_to_stream(words, lens, budget: int, capW: int | None = None):
         overflow = overflow | ovf
         n_pad //= 2
     return words[0], lens[0], overflow
+
+
+# ---------------------------------------------------------------------------
+# Fused sample -> packed-bitstring kernel (interleaved single-scan modes).
+#
+# One Mosaic pass runs fDCT + zigzag + reciprocal quantize (the
+# ``kernels.pallas_fdct`` prologue), the mid-stream DC differential (the
+# cross-tile boundary DCs ride a VMEM scratch carried across sequential
+# grid steps), and the full P1 symbolize + in-block merge — the (64, L)
+# int16 coefficient stream never exists in HBM and the separate P1
+# launch and XLA dcdiff pass disappear (flagship coefficients+P1 were
+# two kernels with a 2x21.6 MB HBM round trip between them).
+# Reference semantics: fdct.rs:107-238, quantization.rs:291-307,
+# encoder.rs:748-788, writer.rs:308-470.
+# ---------------------------------------------------------------------------
+
+def _fused_sample_pack_kernel(
+    x_ref, recip_ref, corr_ref, dctabs_ref, actabs_ref,
+    words_ref, lens_ref, carry_ref,
+    *,
+    tile: int,
+    n_blocks: int,
+    spec: ScanSpec,
+    budget: int,
+    qtab_pattern: Tuple[int, ...],
+):
+    from jax.experimental import pallas as pl
+
+    from ..core.tables import QUANT_SHIFT, ZIGZAG
+    from ..kernels.pallas_fdct import _butterfly
+
+    T = tile
+    pat = len(spec.dc_tab_pattern)
+    g = pl.program_id(0)
+    bidx = g * T + jax.lax.broadcasted_iota(jnp.int32, (1, T), 1)
+    valid = bidx < n_blocks  # (1, T)
+
+    @pl.when(g == 0)
+    def _init():
+        carry_ref[:] = jnp.zeros_like(carry_ref)
+
+    # ----- fDCT + zigzag + quantize (pallas_fdct._kernel inlined) -----
+    x = x_ref[:].astype(jnp.int32)  # (64, T) level-shifted samples
+    rows = [x[k, :] for k in range(64)]
+    mid = [None] * 64
+    for y in range(8):
+        group = _butterfly([rows[y * 8 + xx] for xx in range(8)], True)
+        for xx in range(8):
+            mid[y * 8 + xx] = group[xx]
+    final = [None] * 64
+    for xx in range(8):
+        group = _butterfly([mid[y * 8 + xx] for y in range(8)], False)
+        for y in range(8):
+            final[y * 8 + xx] = group[y]
+
+    # Per-lane quantization table from the MCU pattern (luma/chroma).
+    distinct_q = sorted(set(qtab_pattern))
+    if len(distinct_q) == 1:
+        is_t1 = jnp.full((1, T), distinct_q[0] == 1, bool)
+    else:
+        pos = bidx % pat
+        is_t1 = jnp.full((1, T), qtab_pattern[0] == 1, bool)
+        for p in range(1, pat):
+            if qtab_pattern[p] == 1:
+                is_t1 = is_t1 | (pos == p)
+            else:
+                is_t1 = is_t1 & (pos != p)
+
+    q_rows = []
+    for j in range(64):
+        v = final[int(ZIGZAG[j])].reshape(1, T)
+        r = jnp.where(is_t1, recip_ref[j, 1], recip_ref[j, 0])
+        c = jnp.where(is_t1, corr_ref[j, 1], corr_ref[j, 0])
+        absv = jnp.abs(v)
+        qv = ((absv + c) * r) >> QUANT_SHIFT
+        q_rows.append(jnp.where(v < 0, -qv, qv))
+    q = jnp.concatenate(q_rows, axis=0)  # (64, T) quantized zigzag
+
+    # ----- Mid-stream DC differentials (dc_diffs_from_dc semantics) ---
+    diff = None
+    if spec.emit_dc:
+        dc = q[0:1]  # (1, T)
+        carry = carry_ref[:]  # (1, 128): lanes 128-pat.. hold prev DCs
+        ext = jnp.concatenate([carry[:, 128 - pat:], dc], axis=1)
+        pos = bidx % pat
+        delta = jnp.full((1, T), int(spec.dc_prev_delta[0]), jnp.int32)
+        for p in range(1, pat):
+            delta = jnp.where(pos == p, int(spec.dc_prev_delta[p]), delta)
+        prev = jnp.zeros((1, T), jnp.int32)
+        for d in sorted(set(spec.dc_prev_delta)):
+            prev = jnp.where(delta == d, ext[:, pat - d: pat - d + T], prev)
+        if spec.seg_blocks > 0:
+            in_seg = (bidx % spec.seg_blocks) >= delta
+        else:
+            in_seg = bidx >= delta
+        prev = jnp.where(in_seg, prev, 0)
+        diff = dc - prev
+        carry_ref[:] = dc[:, T - 128:]  # next tile's boundary DCs
+
+    cur_len, cur_w, overflow = _p1_tile_body(
+        q, diff, bidx, valid, dctabs_ref, actabs_ref,
+        tile=T, spec=spec, budget=budget,
+    )
+
+    words_ref[0] = cur_w[0]
+    lens_ref[0, 0] = cur_len[0, 0]
+    lens_ref[0, 1] = jnp.broadcast_to(
+        overflow.astype(jnp.int32).reshape(1, 1), (1, T)
+    )[0]
+
+
+@lru_cache(maxsize=64)
+def _build_fused_sample_pack_fn(
+    tile: int,
+    n_blocks: int,
+    n_tiles: int,
+    spec: ScanSpec,
+    budget: int,
+    qtab_pattern: Tuple[int, ...],
+    n_actabs: int,
+    interpret: bool,
+):
+    """jit(x_cm_padded (64, Bp) int16, recip2 (64, 2), corr2 (64, 2),
+    dc_packed, ac_packed) -> (words (Bp, capB) u32, lens (Bp,), ovf)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    capB = final_block_cap(budget)
+    kern = partial(
+        _fused_sample_pack_kernel,
+        tile=tile, n_blocks=n_blocks, spec=spec, budget=budget,
+        qtab_pattern=qtab_pattern,
+    )
+    call = pl.pallas_call(
+        kern,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((64, tile), lambda g: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, 2), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, 2), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_actabs, 256), lambda g: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, capB, tile), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, tile), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, capB, tile), jnp.uint32),
+            jax.ShapeDtypeStruct((n_tiles, 8, tile), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((1, 128), jnp.int32)],
+        interpret=interpret,
+    )
+
+    def fn(x_cm, recip2, corr2, dc_packed, ac_packed):
+        words_t, lens_t = call(x_cm, recip2, corr2, dc_packed, ac_packed)
+        words = jnp.swapaxes(words_t, 1, 2).reshape(n_tiles * tile, capB)
+        lens = lens_t[:, 0, :].reshape(n_tiles * tile)
+        overflow = jnp.any(lens_t[:, 1, :] != 0)
+        return words, lens, overflow
+
+    return jax.jit(fn)
+
+
+def fused_sample_pack_blocks(
+    x_cm,
+    spec: ScanSpec,
+    qtab_pattern: Tuple[int, ...],
+    recip2,
+    corr2,
+    dc_packed,
+    ac_packed,
+    budget: int,
+    *,
+    tile: int | None = None,
+    interpret: bool = False,
+):
+    """Sample-to-bitstring P1 for one interleaved scan: ``x_cm`` is the
+    (64, B) int16 MCU-ordered LEVEL-SHIFTED sample stream (pipeline
+    ``raw_fn_cm_samples``); returns ``(words (Bp, capB), lens (Bp,),
+    overflow)`` exactly like :func:`scan_pack_blocks`, with the fDCT /
+    quantize / DC-diff prologue fused in."""
+    if tile is None:
+        tile = _default_tile(interpret)
+    B = x_cm.shape[1]
+    n_tiles = -(-B // tile)
+    Bp = n_tiles * tile
+    x = x_cm
+    if Bp != B:
+        x = jnp.pad(x, ((0, 0), (0, Bp - B)))
+    fn = _build_fused_sample_pack_fn(
+        tile, B, n_tiles, spec, max(budget, 16), tuple(qtab_pattern),
+        int(ac_packed.shape[0]), interpret,
+    )
+    return fn(x, recip2, corr2, dc_packed, ac_packed)

@@ -250,9 +250,39 @@ def _build_coefficients_fn_impl(
             results.append(x.reshape(64, -1))
         return tuple(results)
 
+    def fn_cm_samples(pixels):
+        """MCU-ordered LEVEL-SHIFTED SAMPLE stream, (64, B) int16 — the
+        input of the fused sample->pack kernel
+        (``pallas_pack.fused_sample_pack_blocks``), which runs fDCT +
+        quantize + DC-diff + P1 in one Mosaic pass so the coefficient
+        stream never exists in HBM.  Same blockify + MCU lane
+        permutation as ``fn_cm``, minus the transform."""
+        planes = to_planes(pixels, color_type)
+        out = []
+        for comp in components:
+            h_scale = max_h // comp.horizontal_sampling_factor
+            v_scale = max_v // comp.vertical_sampling_factor
+            plane = _pad_edge(planes[comp.id], pad_h, pad_w)
+            out.append(
+                _blockify_cm(plane, v_scale, h_scale).astype(jnp.int16)
+            )
+        streams = []
+        for comp, x in zip(components, out):
+            cv = comp.vertical_sampling_factor
+            ch = comp.horizontal_sampling_factor
+            if cv > 1 or ch > 1:
+                x = x.reshape(64, -1, num_rows, cv, num_cols, ch)
+                x = x.transpose(0, 1, 2, 4, 3, 5)
+            streams.append(x.reshape(64, -1, num_rows * num_cols, cv * ch))
+        mcu = jnp.concatenate(streams, axis=-1)
+        return mcu.reshape(64, -1)
+
     jitted = jax.jit(fn)
     jitted.raw_fn = fn  # untraced body, reused by the fused device-encode path
     jitted.raw_fn_cm = fn_cm if use_pallas else None
+    jitted.raw_fn_cm_samples = (
+        fn_cm_samples if (use_pallas and interleaved) else None
+    )
     return jitted, scan_layout(width, height, color_type, config)
 
 
