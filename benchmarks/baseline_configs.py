@@ -114,60 +114,93 @@ _SCALE_CHILD = r"""
 import sys, time
 import numpy as np
 import jax
-n = int(sys.argv[1])
+n_s = int(sys.argv[1]); n_b = int(sys.argv[2])
+w = int(sys.argv[3]); h = int(sys.argv[4]); reps = int(sys.argv[5])
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", n)
+jax.config.update("jax_num_cpu_devices", n_s * n_b)
 from tpuenc import ColorType, SamplingFactor
 from tpuenc.shard.encode import ShardedEncoder
 from tpuenc.shard.mesh import make_mesh
-w, h = 2048, 2048
 rng = np.random.default_rng(0)
-img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
-enc = ShardedEncoder(90, make_mesh(n, batch=1))
+imgs = [rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        for _ in range(n_b)]
+enc = ShardedEncoder(90, make_mesh(n_s * n_b, batch=n_b))
 enc.set_sampling_factor(SamplingFactor.F_2_2)
 enc.set_restart_interval(128)  # divides the stripe MCU count for n in 1..8
-out = enc.encode_batch_packed([img], w, h, ColorType.RGB)
+out = enc.encode_batch_packed(imgs, w, h, ColorType.RGB)
 assert out is not None, "packed path declined"
 t0 = time.perf_counter()
-reps = 3
 for _ in range(reps):
-    enc.encode_batch_packed([img], w, h, ColorType.RGB)
+    enc.encode_batch_packed(imgs, w, h, ColorType.RGB)
 print("TIME", (time.perf_counter() - t0) / reps)
 """
 
 
+def _scale_child(n_s, n_b, w, h, reps, cores):
+    import os
+    import subprocess
+
+    cmd = ["taskset", "-c", cores, sys.executable, "-c", _SCALE_CHILD,
+           str(n_s), str(n_b), str(w), str(h), str(reps)]
+    out = subprocess.run(
+        cmd, capture_output=True, text=True, cwd=os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))
+    )
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("TIME")]
+    assert line, (
+        f"scale child failed (s={n_s} b={n_b} {w}x{h}):\n"
+        f"{out.stderr[-2000:]}"
+    )
+    return float(line[0].split()[1])
+
+
 def scale_test():
-    """Striped-mesh scaling efficiency: the FULL sharded encode
-    (coefficients + on-device entropy pack + host segment assembly) via
-    ``encode_batch_packed`` at 1 vs N stripes.
+    """Striped-mesh scaling sweep (VERDICT r4 #5): the FULL sharded
+    encode (coefficients + on-device entropy pack + host segment
+    assembly) via ``encode_batch_packed`` across stripe counts, image
+    sizes and the batch mesh axis.
 
     Virtual CPU devices share the host's cores, so a naive 1-vs-N wall
     clock compares one device with all cores against N devices with a
     fraction each.  For a fair per-chip proxy each configuration runs in
-    a subprocess pinned with taskset to one core per virtual device
-    (N = number of physical cores); real ICI-connected chips have
-    dedicated compute just like this.
+    a subprocess pinned with taskset to ONE CORE PER VIRTUAL DEVICE;
+    real ICI-connected chips have dedicated compute just like this.
+    Device counts above the physical core count are oversubscribed and
+    reported as such (they validate the seam, not per-chip efficiency).
     """
     import os
-    import subprocess
 
-    ncores = min(os.cpu_count() or 1, 8)
-    results = {}
-    for n, cores in ((1, "0"), (ncores, f"0-{ncores-1}")):
-        cmd = ["taskset", "-c", cores, sys.executable, "-c",
-               _SCALE_CHILD, str(n)]
-        out = subprocess.run(
-            cmd, capture_output=True, text=True, cwd=os.path.dirname(
-                os.path.dirname(os.path.abspath(__file__)))
-        )
-        line = [ln for ln in out.stdout.splitlines() if ln.startswith("TIME")]
-        assert line, f"scale child failed (n={n}):\n{out.stderr[-2000:]}"
-        results[n] = float(line[0].split()[1])
-        print(f"stripes={n} ({cores.replace('-', '..')} cores): "
-              f"{results[n]*1000:.1f} ms e2e")
-    eff = results[1] / (results[ncores] * ncores)
-    print(f"end-to-end scaling efficiency 1->{ncores} "
-          f"(1 core/device): {eff:.2f}")
+    ncores = os.cpu_count() or 1
+    sizes = [(2048, 2048, 3), (8192, 4096, 1)]  # (w, h, reps)
+    rows = []
+    for w, h, reps in sizes:
+        base = None
+        for n in (1, 2, 4, 8):
+            cores = f"0-{min(n, ncores) - 1}" if n > 1 else "0"
+            t = _scale_child(n, 1, w, h, reps, cores)
+            if n == 1:
+                base = t
+            pinned = n <= ncores
+            eff = base / (t * n) if pinned else base / (t * ncores)
+            note = "" if pinned else f" (oversubscribed on {ncores} cores)"
+            rows.append((w, h, n, 1, t, eff, note))
+            print(f"{w}x{h} stripes={n} batch=1: {t*1000:8.1f} ms  "
+                  f"eff={eff:.2f}{note}", flush=True)
+        # Batch-axis rows: B independent images, one device each.
+        for n_s, n_b in ((1, min(4, ncores)), (2, 2)):
+            nd = n_s * n_b
+            if nd > ncores:
+                continue
+            cores = f"0-{nd - 1}"
+            t = _scale_child(n_s, n_b, w, h, reps, cores)
+            # n_b images per step: per-image efficiency vs the 1-device run.
+            eff = (base * n_b) / (t * nd)
+            rows.append((w, h, n_s, n_b, t, eff, ""))
+            print(f"{w}x{h} stripes={n_s} batch={n_b}: {t*1000:8.1f} ms "
+                  f"({n_b} imgs)  eff={eff:.2f}", flush=True)
+    worst = min(r[5] for r in rows if not r[6])
+    print(f"worst pinned-core efficiency across the sweep: {worst:.2f}",
+          flush=True)
 
 
 if __name__ == "__main__":
