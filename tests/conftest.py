@@ -34,3 +34,41 @@ if os.environ.get("TPUENC_TEST_TPU") != "1":
 # test_device_entropy.py flips this per-test to cover the device path's
 # byte parity explicitly.
 os.environ.setdefault("TPUENC_DEVICE_ENTROPY", "0")
+
+
+# Heaviest files first (from the recorded --durations profile): under
+# xdist --dist loadfile this schedules the expensive interpret-compile
+# files onto workers before the cheap ones (classic longest-job-first
+# balance), and in a single-process -n0 run it fronts the large
+# 8-device sharded compiles before process state accumulates (the
+# late-suite XLA:CPU compiler crash this environment has shown).
+_FILE_PRIORITY = [
+    "test_cm_pipeline.py",
+    "test_sharded_general_pack.py",
+    "test_golden_fixtures.py",
+    "test_chunked.py",
+    "test_sharded_encode.py",
+    "test_sharded_pack.py",
+    "test_sharding.py",
+    "test_device_entropy.py",
+    "test_pack_v2.py",
+    "test_fuzz.py",
+    "test_pallas_pack.py",
+    "test_entropy.py",
+    "test_device_stuff.py",
+    "test_scan_domain.py",
+    "test_pallas_fdct.py",
+]
+
+
+def pytest_collection_modifyitems(config, items):
+    import os as _os
+
+    def prio(item):
+        name = _os.path.basename(str(item.fspath))
+        try:
+            return _FILE_PRIORITY.index(name)
+        except ValueError:
+            return len(_FILE_PRIORITY)
+
+    items.sort(key=prio)  # stable: in-file order is preserved

@@ -161,6 +161,23 @@ def test_new_file(tmp_path):
     assert path.read_bytes() == data
 
 
+def test_encode_batch_luma_matches_singles(monkeypatch):
+    """Batched grayscale rides the device batch path with (N, H, W)
+    pixels — no channel axis.  Regression: to_planes stripped the last
+    axis as channels, silently corrupting batched LUMA output at sizes
+    where the mangled shapes still traced (1x1: second image's scan
+    payload vanished; found by the encode_batch fuzz)."""
+    monkeypatch.setenv("TPUENC_DEVICE_ENTROPY", "1")
+    rng = np.random.default_rng(11)
+    for n, w, h in [(2, 1, 1), (3, 16, 16)]:
+        imgs = [rng.integers(0, 256, (h, w), np.uint8) for _ in range(n)]
+        batch = Encoder(80).encode_batch(imgs, w, h, ColorType.LUMA)
+        singles = [
+            Encoder(80).encode(im, w, h, ColorType.LUMA) for im in imgs
+        ]
+        assert batch == singles, (n, w, h)
+
+
 def test_encode_batch_honors_writer_sink():
     """encode_batch must feed a configured sink per image, exactly like
     encode() does (device and host paths agree)."""

@@ -1,7 +1,8 @@
 """Real-TPU tier (VERDICT r2 #2): run the byte-parity surface on actual
 Mosaic-compiled kernels, not interpret mode.
 
-Usage:  TPUENC_TEST_TPU=1 python -m pytest tests/test_tpu.py -m tpu -q
+Usage:  TPUENC_TEST_TPU=1 python -m pytest tests/test_tpu.py -n0 -m tpu -q
+(-n0: one TPU process at a time — the xdist default gate must not fork)
 
 When ``TPUENC_TEST_TPU=1`` the conftest leaves the real backend in place
 (no CPU forcing, persistent compile cache ON — first run pays tunnel

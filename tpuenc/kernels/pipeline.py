@@ -156,9 +156,19 @@ def _build_coefficients_fn_impl(
         quantization_table(config.quantization[1], config.quality, luma=False),
     ]
 
+    def _planes(px):
+        # Batched grayscale arrives as (N, H, W) with NO channel axis;
+        # to_planes would strip the last axis as channels (the W column
+        # of every image), silently corrupting batched LUMA encodes
+        # (caught by the encode_batch fuzz on 1x1 images, where the
+        # mangled shapes still traced).
+        if color_type is ColorType.LUMA and batched:
+            return (px.astype(jnp.int32),)
+        return to_planes(px, color_type)
+
     def fn(pixels):
         px = pixels
-        planes = to_planes(px, color_type)
+        planes = _planes(px)
         out = []
         for comp in components:
             h_scale = max_h // comp.horizontal_sampling_factor
@@ -213,7 +223,7 @@ def _build_coefficients_fn_impl(
         every blockify/MCU-order transpose XLA lowers poorly."""
         from .pallas_fdct import fdct_quantize_pallas_cm
 
-        planes = to_planes(pixels, color_type)
+        planes = _planes(pixels)
         out = []
         for comp in components:
             h_scale = max_h // comp.horizontal_sampling_factor
@@ -257,7 +267,7 @@ def _build_coefficients_fn_impl(
         quantize + DC-diff + P1 in one Mosaic pass so the coefficient
         stream never exists in HBM.  Same blockify + MCU lane
         permutation as ``fn_cm``, minus the transform."""
-        planes = to_planes(pixels, color_type)
+        planes = _planes(pixels)
         out = []
         for comp in components:
             h_scale = max_h // comp.horizontal_sampling_factor
