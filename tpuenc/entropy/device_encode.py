@@ -439,7 +439,7 @@ def _build_fused_fn(
     # fDCT + quantize + DC diff + P1 into ONE Mosaic kernel
     # (pallas_pack.fused_sample_pack_blocks) — the coefficient stream
     # never exists in HBM and the separate P1 launch disappears.
-    # Byte-identical, but measured SLOWER on v5e (flagship 1679 vs 1934
+    # Byte-identical, but measured SLOWER on v5e (flagship 1679 vs ~1930
     # MP/s; P1-only 1.64 vs split coeff+P1 1.37 ms at tiles 256/512/
     # 1024): the saved 2x21.6 MB HBM round trip (~0.06 ms) is dwarfed by
     # the combined kernel's worse VPU scheduling — the 64-row butterfly
