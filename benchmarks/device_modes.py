@@ -166,6 +166,18 @@ def main():
         ),
         3840, 2160,
     )
+    # Reference scan-domain maximum (encoder.rs:321-333): 64 progressive
+    # scans per component = a 192-entry plan (63 AC bands incl. the
+    # empty [1,1) band x 3 comps + 3 DC scans) through the fused device
+    # path — the r4 verdict's capability-cliff row.
+    bench_mode(
+        "q85 progressive 64 scans (192-entry plan)",
+        EncoderConfig(
+            quality=85, sampling_factor=SamplingFactor.F_1_1,
+            progressive_scans=64,
+        ),
+        w, h,
+    )
 
 
 if __name__ == "__main__":

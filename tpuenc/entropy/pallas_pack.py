@@ -475,6 +475,9 @@ def _p1_tile_body(
         nz = band != 0
 
         # Running maximum of last-nonzero index via log-shifts (sublanes).
+        # (An int8 formulation — 4x lane density for the six shift+max
+        # passes — does not lower: Mosaic rejects both the bool-mask
+        # relayout into int8 vregs and int8 arith.muli on this backend.)
         lastnz = jnp.where(nz, slot, -1)
         sh = 1
         while sh < 64:
@@ -1327,24 +1330,42 @@ def _build_merge_chunks_fn(n1p: int, n2: int, cap_in: int, cap_out: int,
 # stream order) are appended into the final bitstream at precomputed bit
 # offsets: shift by the offset phase, OR the carry word from the previous
 # row into word 0, and DMA the row to its word offset in the HBM output.
-# Adjacent rows share one boundary word, so each DMA waits before the next
-# row writes (sequential grid order guarantees correctness).
+# Adjacent rows share one boundary 128-word group whose final content is
+# produced by the LATER row (the carry OR includes the earlier row's
+# bits), so DMAs must LAND in row order — but they need not serialize
+# against compute: the staging buffer is double-buffered and row i's DMA
+# is waited only just before row i+1's DMA starts, so the barrel-shift
+# compute of row i+1 overlaps the DMA of row i (ROADMAP r4 "pipelined
+# P4 DMAs"; measured P4 0.26 -> 0.16 ms on the flagship stream).
 # ---------------------------------------------------------------------------
 
 def _concat_rows_kernel(pos_ref, bits_ref, rows_ref, out_ref,
-                        staging_ref, carry_ref, sem,
-                        *, rows_per_step: int, W: int, STG: int):
+                        staging0_ref, staging1_ref, carry_ref, sem,
+                        *, rows_per_step: int, W: int, STG: int,
+                        n_steps: int):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     g = pl.program_id(0)
+    stagings = (staging0_ref, staging1_ref)
 
     @pl.when(g == 0)
     def _():
         carry_ref[:, :] = jnp.zeros((1, 128), U32)
 
-    def body(i, _):
-        r = g * rows_per_step + i
+    def _dma_for(r, slot: int):
+        """The (re)constructible async-copy descriptor of global row
+        ``r``'s store from the STATIC staging slot ``slot`` (start and
+        wait must describe the same transfer; a dynamic sublane slice of
+        one (2, STG) buffer is not a legal Mosaic memref slice)."""
+        base = (pos_ref[r] >> 5) & (-128)
+        return pltpu.make_async_copy(
+            stagings[slot],
+            out_ref.at[:, pl.ds(pl.multiple_of(base, 128), STG)],
+            sem.at[slot],
+        )
+
+    def _one_row(i, r, slot: int):
         pos = pos_ref[r]
         nbits = bits_ref[r]
         # DMA starts must be provably 128-aligned: write the whole 128-word
@@ -1378,7 +1399,7 @@ def _concat_rows_kernel(pos_ref, bits_ref, rows_ref, out_ref,
             )
             stage = jnp.where((d & k) != 0, shifted, stage)
         stage = stage | jnp.pad(carry_ref[:, :], ((0, 0), (0, STG - 128)))
-        staging_ref[:, :] = stage
+        stagings[slot][:, :] = stage
 
         # Next carry group: the (possibly partial) 128-word group holding
         # the new stream end, extracted with a left barrel by whole groups.
@@ -1394,16 +1415,29 @@ def _concat_rows_kernel(pos_ref, bits_ref, rows_ref, out_ref,
             ext = jnp.where((dgrp & k) != 0, shifted, ext)
         carry_ref[:, :] = ext[:, :128]
 
-        dma = pltpu.make_async_copy(
-            staging_ref,
-            out_ref.at[:, pl.ds(pl.multiple_of(base, 128), STG)],
-            sem,
-        )
-        dma.start()
-        dma.wait()
+        # Land row r-1's DMA before starting row r's (write order on the
+        # shared boundary group), then fire this row's — the NEXT row's
+        # barrel shifts overlap it.
+        @pl.when(r > 0)
+        def _wait_prev():
+            _dma_for(r - 1, 1 - slot).wait()
+
+        _dma_for(r, slot).start()
+
+    def body(p, _):
+        # Two rows per iteration so the staging-slot parity is STATIC
+        # (rows_per_step is even and each step starts on an even row).
+        for s in (0, 1):
+            i = p * 2 + s
+            _one_row(i, g * rows_per_step + i, s)
         return 0
 
-    jax.lax.fori_loop(0, rows_per_step, body, 0)
+    jax.lax.fori_loop(0, rows_per_step // 2, body, 0)
+
+    @pl.when(g == n_steps - 1)
+    def _drain():
+        r_last = n_steps * rows_per_step - 1
+        _dma_for(r_last, r_last & 1).wait()
 
 
 @lru_cache(maxsize=128)
@@ -1415,7 +1449,7 @@ def _build_concat_rows_fn(R: int, W: int, capW: int, interpret: bool):
     assert R % rows_per_step == 0
     STG = -(-(128 + W + 1) // 128) * 128
     kern = partial(_concat_rows_kernel, rows_per_step=rows_per_step,
-                   W=W, STG=STG)
+                   W=W, STG=STG, n_steps=R // rows_per_step)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(R // rows_per_step,),
@@ -1426,8 +1460,9 @@ def _build_concat_rows_fn(R: int, W: int, capW: int, interpret: bool):
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((1, STG), jnp.uint32),
+            pltpu.VMEM((1, STG), jnp.uint32),
             pltpu.VMEM((1, 128), jnp.uint32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
